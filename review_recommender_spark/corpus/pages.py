@@ -1,0 +1,192 @@
+"""Deterministic synthetic Common-Crawl-style page corpus (FIXTURES.md F1).
+
+Schema per the build target's input hint:
+    (url:string, warc_ts:timestamp, html:binary, text:string, lang:string)
+
+Generation is a pure function of (seed, doc_id) via counter-based hashing
+(splitmix64), so the corpus is byte-identical regardless of partitioning,
+parallelism, or generation order — the property the resume and
+local[8]-vs-local[32] determinism tests rely on. No external data.
+
+Vocabulary is Zipf(1.2)-weighted (inverse-CDF sampling), seeded with real
+English words — including K1/K2 stopwords, so tokenizer filtering is
+exercised — plus synthetic filler tokens. Ten golden queries
+(evalx/golden.py) get deterministic "planted" relevant documents: designated
+doc_ids receive the query's key phrase injected several times.
+
+Use ``pages_df(spark, n)`` for a distributed DataFrame (mapInPandas over
+spark.range — scales to bench sizes) or ``pages_pdf(ids)`` for a local
+pandas frame (unit tests, oracles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+SEED = 42
+ZIPF_S = 1.2
+
+# Core vocabulary: real words (stopword-heavy head so K1's stoplist matters)
+# + product/review domain words + golden-query phrases + filler.
+_HEAD_WORDS = [
+    "the", "and", "a", "to", "of", "in", "is", "it", "you", "that", "for",
+    "on", "with", "as", "are", "this", "was", "but", "they", "at", "be",
+    "have", "from", "or", "had", "by", "not", "word", "what", "some", "we",
+    "can", "out", "other", "were", "all", "there", "when", "use", "your",
+    "how", "said", "each", "she", "which", "their", "time", "will", "way",
+    "about", "many", "then", "them", "would", "like", "these", "her", "long",
+    "make", "thing", "see", "him", "two", "has", "look", "more", "day",
+    "could", "go", "come", "did", "my", "sound", "no", "most", "number",
+    "who", "over", "know", "water", "than", "call", "first", "people",
+    "may", "down", "side", "been", "now", "find",
+]
+_DOMAIN_WORDS = [
+    "wireless", "bluetooth", "headphones", "battery", "sound", "quality",
+    "comfortable", "running", "shoes", "lightweight", "yellow", "cat",
+    "socks", "soft", "cotton", "kitchen", "knife", "set", "stainless",
+    "steel", "gaming", "mouse", "rgb", "keyboard", "mechanical",
+    "waterproof", "phone", "case", "protective", "organic", "green", "tea",
+    "leather", "wallet", "men", "usb", "charging", "cable", "fast",
+    "shirt", "fabric", "durable", "cheap", "excellent", "terrible",
+    "product", "review", "amazing", "broke", "return", "shipping",
+    "arrived", "recommend", "price", "value", "color", "size", "fit",
+    "warranty", "replacement", "customer", "service", "month", "year",
+    "week", "daily", "noise", "cancelling", "earbuds", "charge", "hold",
+    "screen", "protector", "grip", "slim", "heavy", "light", "bright",
+]
+
+
+def build_vocab(size: int = 5000) -> list[str]:
+    vocab = list(_HEAD_WORDS) + list(_DOMAIN_WORDS)
+    i = 0
+    while len(vocab) < size:
+        vocab.append(f"tok{i}")
+        i += 1
+    return vocab[:size]
+
+
+_VOCAB = build_vocab()
+_VOCAB_ARR = np.array(_VOCAB)
+
+# Zipf(1.2) inverse CDF over the vocabulary.
+_weights = 1.0 / np.power(np.arange(1, len(_VOCAB) + 1, dtype=np.float64), ZIPF_S)
+_CDF = np.cumsum(_weights / _weights.sum())
+
+# Golden queries and their planted phrases. Query i's relevant docs are
+# doc_ids with doc_id % PLANT_PERIOD == PLANT_OFFSETS[i][j] (j = 0..n_rel-1).
+GOLDEN_PHRASES = [
+    "wireless bluetooth headphones",
+    "comfortable running shoes",
+    "yellow cat socks",
+    "kitchen knife set stainless steel",
+    "gaming mouse rgb",
+    "waterproof phone case",
+    "organic green tea",
+    "leather wallet men",
+    "usb charging cable long",
+    "soft cotton t-shirt",
+]
+PLANT_PERIOD = 997  # prime, so planting spreads across doc-ranges
+N_RELEVANT = 8
+
+
+def planted_doc_offsets(query_idx: int) -> list[int]:
+    return [(13 + query_idx * 89 + j * 101) % PLANT_PERIOD
+            for j in range(N_RELEVANT)]
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z = x
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _hash_u(doc_ids: np.ndarray, stream: int) -> np.ndarray:
+    """Uniform [0,1) per doc for a given stream id, deterministic."""
+    h = _splitmix64(doc_ids.astype(np.uint64)
+                    ^ _splitmix64(np.uint64(SEED * 1_000_003 + stream)))
+    return h.astype(np.float64) / float(2**64)
+
+
+def pages_pdf(doc_ids: np.ndarray) -> pd.DataFrame:
+    """Generate page rows for the given doc_ids (vectorized, deterministic)."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    n = len(doc_ids)
+    # document length in tokens: 10..410, skewed short
+    n_tok = (10 + (_hash_u(doc_ids, 1) ** 2 * 400)).astype(np.int64)
+    total = int(n_tok.sum())
+    # token stream: position-counter hashing → Zipf vocab indices
+    doc_rep = np.repeat(doc_ids.astype(np.uint64), n_tok)
+    pos = np.concatenate([np.arange(k, dtype=np.uint64) for k in n_tok]) \
+        if n else np.zeros(0, dtype=np.uint64)
+    u = _splitmix64(doc_rep * np.uint64(0x9E3779B1) ^ _splitmix64(
+        pos + np.uint64(SEED))).astype(np.float64) / float(2**64)
+    tok_idx = np.searchsorted(_CDF, u, side="right")
+    words = _VOCAB_ARR[np.clip(tok_idx, 0, len(_VOCAB) - 1)]
+    bounds = np.concatenate([[0], np.cumsum(n_tok)])
+    texts = [" ".join(words[bounds[i]:bounds[i + 1]]) for i in range(n)]
+
+    # plant golden phrases
+    mod = doc_ids % PLANT_PERIOD
+    for qi, phrase in enumerate(GOLDEN_PHRASES):
+        for off in planted_doc_offsets(qi):
+            for row in np.flatnonzero(mod == off):
+                reps = 3 + int(doc_ids[row]) % 3
+                texts[row] = texts[row] + (" " + phrase) * reps
+
+    # adversarial whitespace/content in ~1% of rows (byte-identity chain)
+    adv = _hash_u(doc_ids, 2) < 0.01
+    for row in np.flatnonzero(adv):
+        texts[row] = ("  " + texts[row][:200] + "\r\n\ttabbed nbsp "
+                      + "z" * 12 + " \x1c end  ")
+
+    lang_u = _hash_u(doc_ids, 3)
+    langs = np.where(lang_u < 0.95, "en",
+                     np.where(lang_u < 0.97, "es",
+                              np.where(lang_u < 0.99, "de", "zh")))
+    cat = (doc_ids % 7).astype(str)
+    urls = np.char.add(
+        np.char.add(
+            np.char.add("https://site",
+                        (doc_ids % 1000).astype(str)),
+            np.char.add(".example/c", cat)),
+        np.char.add("/page-", doc_ids.astype(str)))
+    ts = pd.to_datetime(
+        np.datetime64("2019-01-01")
+        + ((_hash_u(doc_ids, 4) * 5 * 365 * 24 * 3600).astype("int64")
+           ).astype("timedelta64[s]"))
+    html_null = _hash_u(doc_ids, 5) < 0.02
+    html = [None if null else
+            ("<html><body><p>" + t + "</p></body></html>").encode("utf-8")
+            for null, t in zip(html_null, texts)]
+    return pd.DataFrame({
+        "doc_id": doc_ids,
+        "url": urls,
+        "warc_ts": ts,
+        "html": html,
+        "text": texts,
+        "lang": langs,
+    })
+
+
+PAGES_SCHEMA = ("doc_id long, url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+
+
+def pages_df(spark: SparkSession, n: int, partitions: int | None = None
+             ) -> DataFrame:
+    """Distributed deterministic corpus of n pages."""
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def gen(it):
+        for pdf in it:
+            yield pages_pdf(pdf["id"].to_numpy())
+
+    return (spark.range(0, n, numPartitions=partitions)
+            .mapInPandas(gen, schema=PAGES_SCHEMA))

@@ -1,0 +1,295 @@
+"""Distributed inverted-index build.
+
+Replaces the reference's in-RAM index (a pickled token corpus re-scanned by
+``BM25Okapi`` on every process start — nlp/12_product_prep.py:85-89,
+app/test.py:147-157) with a persisted, compressed, term-partitioned index
+built in ONE large shuffle:
+
+  Stage A (map-only, chunked, resumable):
+      pages → K1 tokenize → per-doc term counts → ``local_tf`` table
+      rows: (doc_id, term, tf, dl); one sentinel row (term=NULL) per doc so
+      zero-token docs still contribute to doc_stats/avgdl (BM25Okapi counts
+      them). This is the "per-partition inverted index" checkpoint: each
+      chunk commits a manifest and a re-run skips completed chunks.
+
+  Stage B (map-only): doc_stats (doc_id, doc_len) + corpus_stats
+      (n_docs, avgdl, total_tokens) from the sentinel rows.
+
+  Stage C (THE shuffle): tf rows hash-partitioned by (term, range_id) —
+      range_id = doc_id >> range_shift. Hashing on the *pair* is the skew
+      treatment the north rule calls "salting head terms": a head term's
+      postings are split across reducers by doc-range, so no reducer ever
+      holds more than one range (≤ 2^range_shift postings) of any term,
+      while each (term, range) group stays whole on one reducer. Within a
+      partition, rows are sorted (term, range_id, doc_id) and a mapInPandas
+      kernel encodes 128-posting delta+varint blocks with block-max
+      metadata (index/codec.py). Blocks are written partitioned by
+      ``term_bucket = crc32(term) % term_buckets`` for directory-level
+      pruning of query terms (crc32 is computable identically driver-side).
+
+  Stage D (tiny): term_stats (term, df, idf) from block metadata — df is
+      the sum of block posting counts, so no second pass over tf rows; the
+      BM25Okapi negative-idf fixup (ε·mean raw idf over the vocabulary,
+      SURVEY.md §2.12) is one scalar aggregate.
+
+Every table commit carries lineage + row/term-count metrics in its snapshot
+manifest (index/tableio.py).
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import EngineConfig
+from ..functions.tokenize import (STOP_INDEX, TOKEN_RE, tokenize_k1_col,
+                                  tokenize_k1_udf)
+from .codec import encode_block
+from .tableio import ChunkedWriter, TableIO, config_fingerprint
+
+LOCAL_TF = "local_tf"
+DOC_STATS = "doc_stats"
+CORPUS_STATS = "corpus_stats"
+TERM_STATS = "term_stats"
+POSTINGS = "postings"
+
+BLOCK_SCHEMA = ("term string, range_id long, block_id int, n int, "
+                "first_doc_id long, last_doc_id long, max_tf int, min_dl int, "
+                "doc_bytes binary, tf_bytes binary, dl_bytes binary")
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def term_bucket_col(col, n_buckets: int):
+    return F.crc32(col) % n_buckets
+
+
+def _tf_rows(tokens_df: DataFrame, cap: int) -> DataFrame:
+    """(doc_id, toks) → (doc_id, term, tf, dl) + per-doc sentinel row.
+
+    Counting happens map-side inside an Arrow batch (pandas explode +
+    groupby — C-level vectorized), so the only cluster-wide shuffle of
+    token-scale data in the whole build is Stage C's (term, range) shuffle.
+    """
+
+    def count_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            toks = pdf["toks"]
+            dl = toks.map(len)
+            sent = pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "term": None,
+                "tf": 0,
+                "dl": dl.to_numpy(),
+            })
+            long = pd.DataFrame({"doc_id": pdf["doc_id"], "term": toks}).explode(
+                "term", ignore_index=True).dropna(subset=["term"])
+            if len(long):
+                tf = (long.groupby(["doc_id", "term"], sort=False)
+                      .size().rename("tf").reset_index())
+                tf = tf.merge(pd.DataFrame({"doc_id": pdf["doc_id"],
+                                            "dl": dl.to_numpy()}), on="doc_id")
+            else:
+                tf = pd.DataFrame(columns=["doc_id", "term", "tf", "dl"])
+            out = pd.concat([sent, tf], ignore_index=True)
+            out["tf"] = out["tf"].astype("int32")
+            out["dl"] = out["dl"].astype("int32")
+            yield out
+
+    return tokens_df.mapInPandas(count_batches,
+                                 schema="doc_id long, term string, tf int, dl int")
+
+
+def _tokens_df(docs: DataFrame, cfg: EngineConfig, doc_id_col: str,
+               text_col: str) -> DataFrame:
+    cap = cfg.index.token_cap
+    base = docs.select(F.col(doc_id_col).alias("doc_id"),
+                       F.col(text_col).alias("text"))
+    if cfg.index.tokenizer_impl == "arrow":
+        return base.select("doc_id", tokenize_k1_udf("text").alias("toks"))
+    return base.select("doc_id", tokenize_k1_col(F.col("text"), cap).alias("toks"))
+
+
+def _encode_partitions(cfg: EngineConfig):
+    block_size = cfg.index.block_size
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        pending: pd.DataFrame | None = None
+
+        def encode_groups(pdf: pd.DataFrame, flush_all: bool) -> tuple[pd.DataFrame | None, list]:
+            rows = []
+            if len(pdf) == 0:
+                return None, rows
+            # group-change detection on the raw columns (string-concat keys
+            # are unsafe: pandas strips NUL separators, creating collisions
+            # like 'tok205'+SEP+'14' == 'tok2051'+SEP+'4')
+            tcol = pdf["term"].to_numpy()
+            rcol = pdf["range_id"].to_numpy()
+            boundaries = np.flatnonzero((tcol[1:] != tcol[:-1])
+                                        | (rcol[1:] != rcol[:-1])) + 1
+            starts = np.concatenate([[0], boundaries])
+            ends = np.concatenate([boundaries, [len(pdf)]])
+            last_start = starts[-1]
+            remainder = None
+            for s, e in zip(starts, ends):
+                if not flush_all and s == last_start:
+                    remainder = pdf.iloc[s:]
+                    break
+                grp = pdf.iloc[s:e]
+                term = grp["term"].iat[0]
+                range_id = int(grp["range_id"].iat[0])
+                doc_ids = grp["doc_id"].to_numpy()
+                tfs = grp["tf"].to_numpy()
+                dls = grp["dl"].to_numpy()
+                for bi, off in enumerate(range(0, len(grp), block_size)):
+                    d = doc_ids[off:off + block_size]
+                    t = tfs[off:off + block_size]
+                    ln = dls[off:off + block_size]
+                    db, tb, lb = encode_block(d, t, ln)
+                    rows.append((term, range_id, bi, len(d), int(d[0]),
+                                 int(d[-1]), int(t.max()), int(ln.min()),
+                                 db, tb, lb))
+            return remainder, rows
+
+        cols = ["term", "range_id", "block_id", "n", "first_doc_id",
+                "last_doc_id", "max_tf", "min_dl", "doc_bytes", "tf_bytes",
+                "dl_bytes"]
+        for pdf in it:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            pending, rows = encode_groups(pdf, flush_all=False)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+        if pending is not None and len(pending):
+            _, rows = encode_groups(pending, flush_all=True)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return encode
+
+
+@dataclass
+class InvertedIndex:
+    io: TableIO
+    cfg: EngineConfig
+    n_docs: int
+    avgdl: float
+    vocab_size: int
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        return self.io.read(spark, POSTINGS)
+
+    def term_stats(self, spark: SparkSession) -> DataFrame:
+        return self.io.read(spark, TERM_STATS)
+
+    def doc_stats(self, spark: SparkSession) -> DataFrame:
+        return self.io.read(spark, DOC_STATS)
+
+    @classmethod
+    def load(cls, spark: SparkSession, io: TableIO,
+             cfg: EngineConfig) -> "InvertedIndex":
+        row = io.read(spark, CORPUS_STATS).collect()[0]
+        return cls(io=io, cfg=cfg, n_docs=row["n_docs"], avgdl=row["avgdl"],
+                   vocab_size=row["vocab_size"])
+
+
+def build_index(spark: SparkSession, docs: DataFrame, io: TableIO,
+                cfg: EngineConfig | None = None, *, doc_id_col: str = "doc_id",
+                text_col: str = "text", n_chunks: int = 1,
+                resume: bool = True, shuffle_partitions: int | None = None,
+                input_fingerprint: str | None = None) -> InvertedIndex:
+    cfg = cfg or EngineConfig()
+    fp = input_fingerprint or config_fingerprint(
+        tokenizer="simple_en_v1", cap=cfg.index.token_cap,
+        block=cfg.index.block_size, shift=cfg.index.range_shift,
+        n_chunks=n_chunks)
+
+    # ---- Stage A: chunked, resumable local_tf ----
+    writer = ChunkedWriter(io=io, name=LOCAL_TF, n_chunks=n_chunks,
+                           input_fingerprint=fp)
+    pending = writer.pending_chunks() if resume else list(range(n_chunks))
+    for i in pending:
+        chunk = docs if n_chunks == 1 else docs.filter(
+            F.pmod(F.col(doc_id_col), F.lit(n_chunks)) == i)
+        tf_df = _tf_rows(_tokens_df(chunk, cfg, doc_id_col, text_col),
+                         cfg.index.token_cap)
+        writer.write_chunk(tf_df, i)
+    writer.finalize(lineage={"stage": "A", "source": "docs"},
+                    metrics={})
+
+    local_tf = io.read(spark, LOCAL_TF)
+
+    # ---- Stage B: doc_stats + corpus scalars (map-only + tiny agg) ----
+    sentinels = local_tf.filter(F.col("term").isNull())
+    doc_stats = sentinels.select("doc_id", F.col("dl").alias("doc_len"))
+    io.write(doc_stats, DOC_STATS,
+             lineage={"parent": io.current_snapshot(LOCAL_TF)["snapshot_id"]},
+             metrics={})
+    stats_row = io.read(spark, DOC_STATS).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_len").alias("total_tokens")).collect()[0]
+    n_docs = stats_row["n_docs"]
+    total_tokens = stats_row["total_tokens"] or 0
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+
+    # ---- Stage C: the (term, range) shuffle → encoded posting blocks ----
+    if shuffle_partitions is None:
+        shuffle_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tfp = (local_tf.filter(F.col("term").isNotNull())
+           .withColumn("range_id",
+                       F.shiftright(F.col("doc_id"), cfg.index.range_shift)))
+    encoded = (tfp.repartition(shuffle_partitions, "term", "range_id")
+               .sortWithinPartitions("term", "range_id", "doc_id")
+               .mapInPandas(_encode_partitions(cfg), schema=BLOCK_SCHEMA)
+               .withColumn("term_bucket",
+                           term_bucket_col(F.col("term"),
+                                           cfg.index.term_buckets)))
+    io.write(encoded, POSTINGS, partition_by=["term_bucket"],
+             lineage={"parent": io.current_snapshot(LOCAL_TF)["snapshot_id"],
+                      "shuffle_partitions": shuffle_partitions},
+             metrics={})
+
+    # ---- Stage D: term_stats from block metadata (tiny) ----
+    blocks = io.read(spark, POSTINGS)
+    df_per_term = blocks.groupBy("term").agg(F.sum("n").alias("df"))
+    # log(N - df + 0.5) - log(df + 0.5), kept as a difference of logs (not a
+    # log of ratio) to match BM25Okapi's floating-point path exactly.
+    raw_idf = df_per_term.withColumn(
+        "idf_raw",
+        F.log(F.lit(float(n_docs)) - F.col("df") + 0.5)
+        - F.log(F.col("df") + 0.5))
+    agg = raw_idf.agg(F.avg("idf_raw").alias("avg_idf"),
+                      F.count("*").alias("vocab")).collect()[0]
+    avg_idf = agg["avg_idf"] or 0.0
+    vocab_size = agg["vocab"]
+    eps_val = cfg.bm25.epsilon * avg_idf
+    term_stats = raw_idf.withColumn(
+        "idf", F.when(F.col("idf_raw") < 0, F.lit(eps_val))
+        .otherwise(F.col("idf_raw")))
+    io.write(term_stats, TERM_STATS,
+             lineage={"parent": io.current_snapshot(POSTINGS)["snapshot_id"],
+                      "epsilon": cfg.bm25.epsilon},
+             metrics={"vocab_size": vocab_size, "avg_idf": avg_idf})
+
+    corpus_stats = spark.createDataFrame(
+        [(int(n_docs), float(avgdl), int(total_tokens), int(vocab_size),
+          float(avg_idf))],
+        "n_docs long, avgdl double, total_tokens long, vocab_size long, "
+        "avg_idf double")
+    io.write(corpus_stats, CORPUS_STATS,
+             lineage={"parent": io.current_snapshot(TERM_STATS)["snapshot_id"]},
+             metrics={"n_docs": int(n_docs), "vocab_size": int(vocab_size)})
+
+    return InvertedIndex(io=io, cfg=cfg, n_docs=int(n_docs),
+                         avgdl=float(avgdl), vocab_size=int(vocab_size))
