@@ -1,38 +1,693 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship BM25 top-k over the sf0.001 documents
+table through the real distributed index. ``queries()`` exposes one entry
+per implemented operator family from SURVEY.md §2 (plus the training-data
+ops: dedup / similarity / text stats / multimodal); ``oracle_sql()`` gives
+the DuckDB-ANSI equivalent for everything SQL-expressible. Entries without
+an oracle (LSH ANN, simhash, fake-feature plumbing) are rows-only by design
+and carry pytest parity/recall tests instead (tests/test_ops.py).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
+from collections import Counter
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from review_recommender_spark.config import EngineConfig, bm25_north
+from review_recommender_spark.functions.tokenize import (k1_sql_duckdb,
+                                                         tokenize_k1_col,
+                                                         tokenize_k2_py)
+from review_recommender_spark.index.build import build_index, InvertedIndex
+from review_recommender_spark.index.codec import decode_block
+from review_recommender_spark.index.tableio import TableIO
+from review_recommender_spark.query.bm25 import (bm25_topk_exact,
+                                                 query_term_weights)
+from review_recommender_spark.ops import dedup as D
+from review_recommender_spark.ops import similarity as S
+from review_recommender_spark.ops import textstats as TS
+from review_recommender_spark.ops import multimodal as MM
+from review_recommender_spark.etl import pipeline as ETL
+
+# ---------------------------------------------------------------- helpers
+
+_INDEX_CACHE: dict[str, InvertedIndex] = {}
+
+BM25_QUERY = "spark shuffle join performance scan"
+BM25_K = 20
+PROBE_TERMS = ["spark", "scan", "merge"]
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(_t(sf_dir, name))
+
+
+def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """Build (once per sf_dir per process) the real inverted index over the
+    documents table — ft_* entries all read from it."""
+    if sf_dir not in _INDEX_CACHE:
+        docs = _load(spark, sf_dir, "documents")
+        root = os.path.join(tempfile.gettempdir(),
+                            "rrs_entry_idx_" + sf_dir.strip("/").replace("/", "_"))
+        cfg = EngineConfig(bm25=bm25_north())
+        _INDEX_CACHE[sf_dir] = build_index(
+            spark, docs, TableIO(root), cfg,
+            doc_id_col="doc_id", text_col="text", n_chunks=1)
+    return _INDEX_CACHE[sf_dir]
+
+
+# ------------------------------------------------------- fulltext entries
+
+def q_ft_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _doc_index(spark, sf_dir)
+    return idx.doc_stats(spark).select("doc_id", "doc_len")
+
+
+def q_ft_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _doc_index(spark, sf_dir)
+    return (idx.io.read(spark, "corpus_stats")
+            .select("n_docs", "total_tokens",
+                    F.round("avgdl", 6).alias("avgdl"), "vocab_size"))
+
+
+def q_ft_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _doc_index(spark, sf_dir)
+    return (idx.term_stats(spark)
+            .orderBy(F.desc("df"), F.asc("term"))
+            .select("term", "df").limit(100))
+
+
+def q_ft_term_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _doc_index(spark, sf_dir)
+    return (idx.term_stats(spark).filter(F.col("df") >= 50)
+            .select("term", "df", F.round("idf", 6).alias("idf")))
+
+
+def q_ft_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _doc_index(spark, sf_dir)
+    blocks = idx.postings(spark).filter(F.col("term").isin(PROBE_TERMS))
+
+    def explode_blocks(it):
+        import pandas as pd
+        for pdf in it:
+            rows = {"term": [], "doc_id": [], "tf": []}
+            for term, n, db, tb, lb in zip(pdf["term"], pdf["n"],
+                                           pdf["doc_bytes"], pdf["tf_bytes"],
+                                           pdf["dl_bytes"]):
+                d, t, _ = decode_block(bytes(db), bytes(tb), bytes(lb), int(n))
+                rows["term"].extend([term] * len(d))
+                rows["doc_id"].extend(d.tolist())
+                rows["tf"].extend(t.tolist())
+            yield pd.DataFrame(rows)
+
+    return blocks.mapInPandas(explode_blocks,
+                              schema="term string, doc_id long, tf long")
+
+
+def q_ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _doc_index(spark, sf_dir)
+    res = bm25_topk_exact(spark, idx, BM25_QUERY, k=BM25_K)
+    return (res.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
+# ------------------------------------------------------ relational entries
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+def q_top3_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_quantity"), F.desc("l_extendedprice"), F.asc("l_linenumber"))
+    return (li.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("l_orderkey", "l_linenumber", "l_quantity", "rn"))
+
+
+def q_customer_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey", "c_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_spent")))
+
+
+def q_semi_join_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (li.join(o.select("o_orderkey"),
+                    li.l_orderkey == o.o_orderkey, "left_semi")
+            .groupBy("l_orderkey")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("order_revenue")))
+
+
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _load(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 250000)
+    recent = o.filter(F.col("o_orderdate") >= "1997-06-01")
+    merged = ETL.union_dedup_by_id([hi, recent], "o_orderkey")
+    return merged.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+
+def q_minmax_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _load(spark, sf_dir, "part")
+    w = Window.partitionBy()
+    lo, hi = F.min("p_retailprice").over(w), F.max("p_retailprice").over(w)
+    norm = F.when(hi - lo < 1e-12, F.lit(0.0)).otherwise(
+        (F.col("p_retailprice") - lo) / (hi - lo))
+    return p.select("p_partkey", F.round(norm, 6).alias("price_norm"))
+
+
+def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("value"), 4).alias("avg_value")))
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: new session when gap from previous event > 30 min."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_sess = F.when(prev.isNull() | ((us - prev) > 1800 * 1_000_000), 1) \
+        .otherwise(0)
+    return (e.withColumn("new_sess", new_sess)
+            .groupBy("user_id")
+            .agg(F.sum("new_sess").alias("n_sessions"),
+                 F.count("*").alias("n_events")))
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return o.select("o_custkey", "o_orderkey",
+                    F.round(F.sum("o_totalprice").over(w), 2)
+                    .alias("running_total"))
+
+
+def q_stable_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 stable-id hash: sha256("text|ts|key")[:32] (etl/02:12-14)."""
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    sid = F.sha2(F.concat_ws("|", F.col("text"), F.col("source"),
+                             F.col("doc_id").cast("string")), 256).substr(1, 32)
+    return d.select("doc_id", sid.alias("stable_id"))
+
+
+def q_recency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — events within 24h of the max timestamp."""
+    e = _load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cutoff_us = e.agg(F.max(us)).collect()[0][0]
+    return (e.filter(us >= cutoff_us - 86400 * 1_000_000)
+            .groupBy("event_type").agg(F.count("*").alias("n")))
+
+
+# --------------------------------------------------- text-analysis entries
+
+def q_txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return TS.quality_features(d).select(
+        "doc_id", "n_words", "punct_ratio", "stop_ratio", "quality_score")
+
+
+def q_txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return TS.lang_id(d).select("doc_id", "lang_pred")
+
+
+def q_txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return TS.fingerprint(d).select("doc_id", "fingerprint")
+
+
+def q_txt_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        TS.regex_token_count(F.col("text")).alias("re_tokens"))
+
+
+# ----------------------------------------------------- dedup / similarity
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: duplicate the first 50 docs under shifted ids, dedup by
+    fingerprint keeping min id — survivors must be the originals."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (d.filter(F.col("doc_id") < 50)
+            .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    uni = d.unionByName(dups)
+    fp = TS.fingerprint(uni)
+    kept = D.exact_dedup_by_fingerprint(fp, "doc_id", "fingerprint")
+    return kept.agg(F.count("*").alias("n_survivors"),
+                    F.sum((F.col("doc_id") >= 1_000_000).cast("int"))
+                    .alias("n_shifted_kept"))
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (_load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+         .select("doc_id",
+                 D.token_shingles(tokenize_k1_col(F.col("text")), 3)
+                 .alias("shingles")))
+    return D.ngram_jaccard_pairs(d, "doc_id", "shingles", threshold=0.0)
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (_load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+         .select("doc_id",
+                 D.token_shingles(tokenize_k1_col(F.col("text")), 3)
+                 .alias("shingles")))
+    return D.minhash_signatures(d, "doc_id", "shingles", k=8)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: LSH candidate pairs from banded minhash signatures
+    (self-dup planted by unioning shifted copies of 20 docs)."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (d.filter(F.col("doc_id") < 20)
+            .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    uni = d.unionByName(dups).select(
+        "doc_id", D.token_shingles(tokenize_k1_col(F.col("text")), 3)
+        .alias("shingles"))
+    sigs = D.minhash_signatures(uni, "doc_id", "shingles", k=16)
+    return D.minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
+
+
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = (emb.filter(F.col("vec_id").isin(0, 1, 2))
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").alias("probe_vec")))
+    return (S.brute_force_cosine_topk(emb, probes, k=5)
+            .select("probe_id", "vec_id", "cosine", "rank"))
+
+
+def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: LSH-bucketed ANN (recall vs brute force tested in pytest)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = (emb.filter(F.col("vec_id").isin(0, 1, 2))
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").alias("probe_vec")))
+    return (S.lsh_cosine_topk(emb, probes, k=5, dim=64)
+            .select("probe_id", "vec_id", "cosine", "rank"))
+
+
+# ----------------------------------------------------------- multimodal
+
+def q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (_load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+         .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload")))
+    return (MM.media_metadata(d, "doc_id", "payload", "text/plain")
+            .select("doc_id", "media_type", "n_bytes", "checksum"))
+
+
+def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: binary → fixed-dim feature plumbing (deterministic fake
+    kernel; real decode is stubbed — see ops/multimodal.py)."""
+    d = (_load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+         .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload")))
+    return MM.image_feature_frame(d, "doc_id", "payload", dim=16)
+
+
+def q_txt_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: 64-bit simhash signatures (python-parity in pytest)."""
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select("doc_id", TS.simhash64_udf(F.col("text")).alias("simhash"))
+
+
+# ------------------------------------------------------ document build
+
+def q_docbuild_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference nlp/10 document build (KPIs + ranked top-N ordered
+    concat) driven over the events table shaped as reviews."""
+    e = _load(spark, sf_dir, "events")
+    reviews = e.select(
+        F.col("event_id").cast("string").alias("id"),
+        F.col("user_id").cast("string").alias("sku"),
+        F.col("ts"),
+        (F.floor("value").cast("int") % 5 + 1).alias("stars"),
+        F.concat_ws(" ", "event_type", "props",
+                    F.col("value").cast("string")).alias("text"))
+    docs = ETL.build_documents(reviews, key="sku", max_per_key=5)
+    return docs.select("sku", "n_reviews", "avg_stars", "last_ts", "agg_text")
+
+
+# ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 over sf0.001 documents via the real index."""
+    return q_ft_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "ft_doc_stats": q_ft_doc_stats,
+        "ft_corpus_stats": q_ft_corpus_stats,
+        "ft_term_df": q_ft_term_df,
+        "ft_term_idf": q_ft_term_idf,
+        "ft_postings": q_ft_postings,
+        "ft_bm25_topk": q_ft_bm25_topk,
+        "tpch_q1": q_tpch_q1,
+        "top3_lineitems": q_top3_lineitems,
+        "customer_order_totals": q_customer_order_totals,
+        "semi_join_high_value": q_semi_join_high_value,
+        "union_dedup": q_union_dedup,
+        "minmax_price": q_minmax_price,
+        "events_by_type": q_events_by_type,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "running_total": q_running_total,
+        "stable_id": q_stable_id,
+        "recency_filter": q_recency_filter,
+        "txt_quality": q_txt_quality,
+        "txt_lang_id": q_txt_lang_id,
+        "txt_fingerprint": q_txt_fingerprint,
+        "txt_token_count": q_txt_token_count,
+        "txt_simhash": q_txt_simhash,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_lsh_ann": q_sim_lsh_ann,
+        "mm_media_meta": q_mm_media_meta,
+        "mm_image_features": q_mm_image_features,
+        "docbuild_products": q_docbuild_products,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+K1SQL = k1_sql_duckdb("text")
+
+_FT_BASE = f"""
+WITH toks AS (SELECT doc_id, {K1SQL} AS toks FROM documents),
+doclen AS (SELECT doc_id, len(toks) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl,
+                 sum(dl)::bigint AS total FROM doclen),
+tf AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term),
+dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+idf_raw AS (SELECT term, df,
+                   ln((SELECT n FROM stats) - df + 0.5) - ln(df + 0.5) AS raw
+            FROM dfc),
+avgidf AS (SELECT avg(raw) AS av FROM idf_raw),
+idf AS (SELECT term, df,
+               CASE WHEN raw < 0 THEN 0.25 * (SELECT av FROM avgidf)
+                    ELSE raw END AS idf
+        FROM idf_raw)
+"""
+
+
+def _bm25_sql(query: str, k1: float, b: float, k: int) -> str:
+    qtf = Counter(tokenize_k2_py(query))
+    vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
+    return f"""{_FT_BASE},
+q(term, qtf) AS (VALUES {vals}),
+scores AS (
+  SELECT tfc.doc_id,
+         sum(idf.idf * q.qtf * tfc.tf * ({k1} + 1)
+             / (tfc.tf + {k1} * (1 - {b} + {b} * doclen.dl
+                                 / (SELECT avgdl FROM stats)))) AS s
+  FROM q JOIN idf USING (term) JOIN tfc USING (term)
+         JOIN doclen ON tfc.doc_id = doclen.doc_id
+  GROUP BY tfc.doc_id)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id LIMIT {k}"""
+
+
+_LANG_HITS = {
+    lang: ("len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+           f"t -> t IN ({', '.join(repr(w) for w in ws)})))")
+    for lang, ws in TS.LANG_STOPWORDS.items()
+}
+
+_MINHASH_SHINGLES = (
+    f"list_transform(generate_series(1, greatest(len({K1SQL}) - 2, 0)), "
+    f"i -> array_to_string(list_slice({K1SQL}, i, i + 2), ' '))")
+
+
+def _minhash_sql(k: int, max_id: int) -> str:
+    params = D.minhash_params(k)
+    aggs = ", ".join(
+        f"min(({a} * h + {b}) % {D.MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(params))
+    return f"""
+WITH sh AS (SELECT doc_id AS mh_id, unnest({_MINHASH_SHINGLES}) AS shingle
+            FROM documents WHERE doc_id < {max_id}),
+hashed AS (SELECT mh_id,
+                  ('0x' || substr(md5(shingle), 1, 8))::bigint
+                  % {D.MINHASH_PRIME} AS h
+           FROM sh)
+SELECT mh_id, {aggs} FROM hashed GROUP BY mh_id"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ws_count = ("CASE WHEN trim(text) = '' THEN 0 ELSE "
+                "len(regexp_split_to_array(trim(text), '\\s+')) END")
+    en = ", ".join(repr(w) for w in TS.LANG_STOPWORDS["en"])
+    quality = f"""
+WITH feat AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         {ws_count} AS n_words,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t IN ({en}))) AS stop_hits
+  FROM documents)
+SELECT doc_id, n_words,
+       round(n_punct::double / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(stop_hits::double / greatest(n_words, 1), 6) AS stop_ratio,
+       round(0.3 * (n_chars BETWEEN 10 AND 100000)::int
+           + 0.2 * (n_chars::double / greatest(n_words, 1) BETWEEN 3 AND 12)::int
+           + 0.2 * (n_punct::double / greatest(n_chars, 1) < 0.2)::int
+           + 0.1 * (n_digit::double / greatest(n_chars, 1) < 0.3)::int
+           + 0.2 * least(stop_hits::double / greatest(n_words, 1) * 5, 1.0),
+           6) AS quality_score
+FROM feat"""
+
+    langs = sorted(TS.LANG_STOPWORDS)
+    lang_case = " ".join(
+        f"WHEN {_LANG_HITS[lang]} = best THEN '{lang}'" for lang in langs)
+    lang_sql = f"""
+WITH h AS (SELECT doc_id, text,
+                  greatest({', '.join(_LANG_HITS[lang] for lang in langs)})
+                  AS best
+           FROM documents)
+SELECT doc_id, CASE WHEN best = 0 THEN 'und' {lang_case} ELSE 'und' END
+       AS lang_pred FROM h"""
+
+    jacc_shingles = ("list_distinct(list_transform("
+                     f"generate_series(1, greatest(len({K1SQL}) - 2, 0)), "
+                     f"i -> array_to_string(list_slice({K1SQL}, i, i + 2), ' ')))")
+
+    return {
+        "ft_doc_stats": f"SELECT doc_id, len({K1SQL}) AS doc_len FROM documents",
+        "ft_corpus_stats": _FT_BASE + """
+SELECT (SELECT n FROM stats) AS n_docs,
+       (SELECT total FROM stats) AS total_tokens,
+       round((SELECT avgdl FROM stats), 6) AS avgdl,
+       (SELECT count(*) FROM dfc) AS vocab_size""",
+        "ft_term_df": _FT_BASE + """
+SELECT term, df FROM dfc ORDER BY df DESC, term LIMIT 100""",
+        "ft_term_idf": _FT_BASE + """
+SELECT term, df, round(idf, 6) AS idf FROM idf WHERE df >= 50""",
+        "ft_postings": _FT_BASE + f"""
+SELECT term, doc_id, tf FROM tfc
+WHERE term IN ({', '.join(repr(t) for t in PROBE_TERMS)})""",
+        "ft_bm25_topk": _bm25_sql(BM25_QUERY, 1.2, 0.75, BM25_K),
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+        "top3_lineitems": """
+SELECT l_orderkey, l_linenumber, l_quantity, rn FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_quantity DESC, l_extendedprice DESC,
+                                     l_linenumber) AS rn
+  FROM lineitem WHERE l_orderkey < 100) t
+WHERE rn <= 3""",
+        "customer_order_totals": """
+SELECT c_custkey, c_name, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_spent
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name""",
+        "semi_join_high_value": """
+SELECT l_orderkey, count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS order_revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > 400000)
+GROUP BY l_orderkey""",
+        "union_dedup": """
+SELECT o_orderstatus, count(*) AS n FROM (
+  SELECT DISTINCT ON (o_orderkey) * FROM (
+    SELECT * FROM orders WHERE o_totalprice > 250000
+    UNION ALL
+    SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01') u
+) d GROUP BY o_orderstatus""",
+        "minmax_price": """
+WITH s AS (SELECT min(p_retailprice) AS lo, max(p_retailprice) AS hi
+           FROM part)
+SELECT p_partkey,
+       round(CASE WHEN hi - lo < 1e-12 THEN 0.0
+                  ELSE (p_retailprice - lo) / (hi - lo) END, 6) AS price_norm
+FROM part, s""",
+        "events_by_type": """
+SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type""",
+        "events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "sessionize": """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, sum(new_sess)::bigint AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id""",
+        "running_total": """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       AS running_total
+FROM orders WHERE o_custkey < 20""",
+        "stable_id": """
+SELECT doc_id,
+       substr(sha256(text || '|' || source || '|' || doc_id::varchar), 1, 32)
+       AS stable_id
+FROM documents WHERE doc_id < 500""",
+        "recency_filter": """
+SELECT event_type, count(*) AS n FROM events
+WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) FROM events) - 86400000000
+GROUP BY event_type""",
+        "txt_quality": quality,
+        "txt_lang_id": lang_sql,
+        "txt_fingerprint": """
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents""",
+        "txt_token_count": f"""
+SELECT doc_id, {ws_count} AS ws_tokens,
+       len(regexp_extract_all(lower(text),
+           '[a-z0-9]+(?:''[a-z0-9]+)?')) AS re_tokens
+FROM documents""",
+        "dedup_exact": """
+WITH uni AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+fp AS (SELECT doc_id,
+              md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+       FROM uni),
+kept AS (SELECT doc_id, row_number() OVER (PARTITION BY f ORDER BY doc_id)
+                AS rn FROM fp)
+SELECT count(*) AS n_survivors,
+       sum((doc_id >= 1000000)::int)::bigint AS n_shifted_kept
+FROM kept WHERE rn = 1""",
+        "dedup_jaccard": f"""
+WITH sh AS (SELECT doc_id, {jacc_shingles} AS s FROM documents
+            WHERE doc_id < 40)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CASE WHEN len(list_distinct(a.s || b.s)) > 0
+                  THEN len(list_intersect(a.s, b.s))::double
+                       / len(list_distinct(a.s || b.s))
+                  ELSE 0.0 END, 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id""",
+        "dedup_minhash_sig": _minhash_sql(8, 100),
+        "sim_cosine_topk": """
+WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv
+                FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  -- double-precision dot/norms via positional unnest-zip
+  -- (list_cosine_similarity/list_dot_product compute in float32)
+  SELECT p.probe_id, e.vec_id,
+         round(
+           (SELECT sum(x * y) FROM (SELECT unnest(e.embedding::double[]) AS x,
+                                           unnest(p.pv::double[]) AS y))
+           / greatest(
+               sqrt((SELECT sum(x * x)
+                     FROM (SELECT unnest(e.embedding::double[]) AS x)))
+               * sqrt((SELECT sum(y * y)
+                       FROM (SELECT unnest(p.pv::double[]) AS y))),
+               1e-12), 6) AS cosine
+  FROM embeddings e CROSS JOIN probes p),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                   ORDER BY cosine DESC, vec_id) AS rank
+           FROM scored)
+SELECT probe_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""",
+        "mm_media_meta": """
+SELECT doc_id, 'text/plain' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       ('0x' || substr(md5(text), 1, 8))::bigint AS checksum
+FROM documents WHERE doc_id < 200""",
+        "docbuild_products": """
+WITH reviews AS (
+  SELECT event_id::varchar AS id, user_id::varchar AS sku, ts,
+         (floor(value)::int % 5 + 1) AS stars,
+         concat_ws(' ', event_type, props, value::varchar) AS text
+  FROM events),
+clean AS (SELECT *, regexp_replace(trim(replace(replace(text, chr(13), ' '),
+                    chr(10), ' ')), '\\s+', ' ', 'g') AS __clean
+          FROM reviews),
+flt AS (SELECT DISTINCT ON (sku, __clean) * FROM clean
+        WHERE length(__clean) >= 10
+        ORDER BY sku, __clean, id),
+kpis AS (SELECT sku, count(id) AS n_reviews,
+                round(avg(stars), 3) AS avg_stars, max(ts) AS last_ts
+         FROM flt GROUP BY sku),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY sku
+                 ORDER BY stars DESC NULLS LAST, ts DESC NULLS LAST, id)
+                 AS __rank
+           FROM flt),
+agg AS (SELECT sku, string_agg(__clean, chr(32) || chr(10)
+               ORDER BY __rank) AS agg_text
+        FROM ranked WHERE __rank <= 5 GROUP BY sku)
+SELECT k.sku, k.n_reviews, k.avg_stars, k.last_ts,
+       coalesce(a.agg_text, '') AS agg_text
+FROM kpis k LEFT JOIN agg a ON k.sku = a.sku""",
+    }

@@ -1,0 +1,147 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are JVM-side (whole-stage codegen); nothing here
+round-trips through Python except the simhash bit-vote kernel, which is an
+Arrow-vectorized pandas UDF. Each operator is designed to be expressible in
+ANSI SQL too (the driver's DuckDB oracle) — see __spark_entry__.py.
+
+Operators:
+  * token_counts      — whitespace tokens vs K1-regex tokens per document
+  * quality_features  — length / punctuation / digit / stopword-ratio
+                        features + a blended quality score (the web-scale
+                        analogue of the reference's spam gate nlp/11:38-39)
+  * lang_id           — n-gram-free stopword-vote language heuristic
+  * fingerprint       — md5 of the T2-normalized text (document identity for
+                        exact dedup; cf. reference stable-id hash etl/02:12-14)
+  * simhash64         — 64-bit SimHash over K1 tokens (near-dup signature)
+  * portable_hash32   — 32-bit hash computable identically in Spark & DuckDB
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.tokenize import TOKEN_PATTERN, tokenize_k1_py
+
+# Stopword vote sets for the language heuristic (tiny, public common words).
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "you", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "que", "une", "pour"],
+}
+
+
+def portable_hash32(col: Column) -> Column:
+    """32-bit hash identical in Spark and DuckDB:
+    Spark  : conv(substring(md5(x), 1, 8), 16, 10)::long
+    DuckDB : ('0x' || substr(md5(x), 1, 8))::bigint
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def whitespace_token_count(col: Column) -> Column:
+    # split on runs of whitespace after trim; empty string → 0 tokens
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+")))
+
+
+def regex_token_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + blended score in [0, 1]."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_words = whitespace_token_count(c)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^a-zA-Z0-9\s]"), 0))
+    n_digit = F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), 0))
+    stop_hits = F.size(F.filter(
+        F.split(F.lower(F.trim(c)), r"\s+"),
+        lambda t: t.isin(*LANG_STOPWORDS["en"])))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    digit_ratio = n_digit / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits / F.greatest(n_words, F.lit(1))
+    mean_word_len = n_chars / F.greatest(n_words, F.lit(1))
+    length_ok = (n_chars >= 10) & (n_chars <= 100_000)
+    word_len_ok = (mean_word_len >= 3) & (mean_word_len <= 12)
+    score = (0.3 * length_ok.cast("double")
+             + 0.2 * word_len_ok.cast("double")
+             + 0.2 * (punct_ratio < 0.2).cast("double")
+             + 0.1 * (digit_ratio < 0.3).cast("double")
+             + 0.2 * F.least(stop_ratio * 5, F.lit(1.0)))
+    return df.withColumns({
+        "n_chars_q": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "digit_ratio": F.round(digit_ratio, 6),
+        "stop_ratio": F.round(stop_ratio, 6),
+        "quality_score": F.round(score, 6),
+    })
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-vote language ID: argmax over per-language hit counts with a
+    deterministic tie-break on language code; 'und' when no stopword hits."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def _in_set(words: list[str]):
+        # single-arg lambda factory: higher-order filter() inspects arity
+        return lambda t: t.isin(*words)
+
+    hits = {lang: F.size(F.filter(toks, _in_set(words)))
+            for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    pick = F.lit("und")
+    # iterate in reverse-sorted order so earlier alphabetical wins ties
+    for lang in sorted(hits, reverse=True):
+        pick = F.when(hits[lang] == best, F.lit(lang)).otherwise(pick)
+    pick = F.when(best == 0, F.lit("und")).otherwise(pick)
+    return df.withColumn(out_col, pick)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fingerprint") -> DataFrame:
+    """md5 of whitespace-normalized lowercase text (exact-dup identity)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, F.md5(norm))
+
+
+@F.pandas_udf(T.LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over K1 tokens — Arrow-vectorized bit votes."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        toks = tokenize_k1_py(text or "")
+        if not toks:
+            continue
+        hashes = np.array([hash_str64(t) for t in toks], dtype=np.uint64)
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) &
+                np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.flatnonzero(votes > 0):
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+def hash_str64(s: str) -> np.uint64:
+    """Deterministic 64-bit FNV-1a (process-independent, unlike hash())."""
+    h = np.uint64(0xCBF29CE484222325)
+    with np.errstate(over="ignore"):
+        for byte in s.encode("utf-8"):
+            h = (h ^ np.uint64(byte)) * np.uint64(0x100000001B3)
+    return h
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhash64 columns (JVM bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))
