@@ -1,0 +1,144 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Phases (all on local[$SPARK_GRAFT_CPUS], default 32):
+  1. index_build  — distributed inverted-index build over a deterministic
+                    synthetic page corpus ($SPARK_GRAFT_BENCH_DOCS docs,
+                    default 120k) → docs/sec (the north-rule headline).
+  2. bm25 queries — block-max-pruned BM25 top-10 per golden query on the
+                    warm index → per-query seconds, p50/p95.
+  3. hybrid       — embedding build + batched hybrid search (dense + BM25 +
+                    second-pass fusion) over all 10 golden queries.
+  4. sf queries   — BM25 + doc-stats over the driver testdata documents
+                    table at $SPARK_GRAFT_SF_DIR (correctness-scale signal).
+
+Output: {"metric": "...", "value": <total sec>, "unit": "sec",
+         "queries": {...per-phase/per-query sec...}, "sf": ...,
+         "index_docs_per_sec": ..., "bm25_p95_sec": ...}
+
+Scaling evidence (local[8] vs local[32]) is produced by
+scripts/run_scaling.py, which runs THIS file in two subprocesses (a Spark
+local-mode core count is fixed per JVM) and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
+    phases = os.environ.get("SPARK_GRAFT_BENCH_PHASES",
+                            "build,bm25,hybrid,sf").split(",")
+
+    from review_recommender_spark.config import EngineConfig, bm25_north
+    from review_recommender_spark.corpus.pages import (GOLDEN_PHRASES,
+                                                       page_meta_cols,
+                                                       pages_df)
+    from review_recommender_spark.index.build import build_index
+    from review_recommender_spark.index.tableio import TableIO
+    from review_recommender_spark.query.bm25 import (bm25_topk_exact,
+                                                     bm25_topk_pruned)
+    from review_recommender_spark.query.encoder import embed_documents
+    from review_recommender_spark.query.search import hybrid_search_batch
+    from review_recommender_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    tmp = tempfile.mkdtemp(prefix="rrs_bench_")
+    t_total = time.perf_counter()
+    try:
+        cfg = EngineConfig(bm25=bm25_north())
+        idx = None
+        docs = None
+        if "build" in phases:
+            # materialize the synthetic corpus first (untimed — corpus
+            # synthesis is not index work; the real pipeline reads a table)
+            corpus_path = os.path.join(tmp, "corpus")
+            t0 = time.perf_counter()
+            pages_df(spark, n_docs, partitions=max(cpus * 2, 8)) \
+                .write.mode("overwrite").parquet(corpus_path)
+            timings["corpus_gen"] = round(time.perf_counter() - t0, 3)
+            docs = spark.read.parquet(corpus_path)
+            t0 = time.perf_counter()
+            idx = build_index(spark, docs, TableIO(os.path.join(tmp, "idx")),
+                              cfg, n_chunks=1,
+                              shuffle_partitions=max(cpus * 2, 8))
+            dt = time.perf_counter() - t0
+            timings["index_build"] = round(dt, 3)
+            extra["index_docs_per_sec"] = round(n_docs / dt, 1)
+            extra["index_n_docs"] = n_docs
+            extra["index_vocab"] = idx.vocab_size
+
+        if "bm25" in phases and idx is not None:
+            # warmup (JIT + parquet footer caches)
+            bm25_topk_pruned(spark, idx, GOLDEN_PHRASES[0], k=10).collect()
+            lat = []
+            for qi, q in enumerate(GOLDEN_PHRASES):
+                t0 = time.perf_counter()
+                bm25_topk_pruned(spark, idx, q, k=10).collect()
+                dt = time.perf_counter() - t0
+                lat.append(dt)
+                timings[f"bm25_q{qi}"] = round(dt, 3)
+            extra["bm25_p50_sec"] = round(float(np.percentile(lat, 50)), 3)
+            extra["bm25_p95_sec"] = round(float(np.percentile(lat, 95)), 3)
+
+        if "hybrid" in phases and idx is not None:
+            t0 = time.perf_counter()
+            emb = (embed_documents(docs.select("doc_id", "text"))
+                   .select("doc_id", "embedding"))
+            emb.write.mode("overwrite").parquet(os.path.join(tmp, "emb"))
+            timings["embed_build"] = round(time.perf_counter() - t0, 3)
+            emb = spark.read.parquet(os.path.join(tmp, "emb"))
+            meta = (docs.select("doc_id", F.col("text").alias("agg_text"))
+                    .join(page_meta_cols(docs.select("doc_id")), "doc_id"))
+            t0 = time.perf_counter()
+            res = hybrid_search_batch(spark, idx, emb, meta,
+                                      list(GOLDEN_PHRASES), k=10)
+            n = res.count()
+            timings["hybrid_batch10"] = round(time.perf_counter() - t0, 3)
+            extra["hybrid_rows"] = n
+
+        if "sf" in phases and os.path.isdir(sf_dir):
+            sf_docs = spark.read.parquet(os.path.join(sf_dir,
+                                                      "documents.parquet"))
+            t0 = time.perf_counter()
+            sf_idx = build_index(spark, sf_docs,
+                                 TableIO(os.path.join(tmp, "sfidx")), cfg,
+                                 n_chunks=1)
+            timings["sf_index_build"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            bm25_topk_exact(spark, sf_idx,
+                            "spark shuffle join performance scan",
+                            k=10).collect()
+            timings["sf_bm25_query"] = round(time.perf_counter() - t0, 3)
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(time.perf_counter() - t_total, 3)
+    out = {
+        "metric": "bm25_index_build_and_query",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("/")[-1],
+        "cpus": cpus,
+        **extra,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

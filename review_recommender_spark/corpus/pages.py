@@ -178,6 +178,27 @@ PAGES_SCHEMA = ("doc_id long, url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
 
 
+def page_meta_py(doc_ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic per-doc popularity metadata (stand-in for the review
+    KPIs the reference aggregates — n_reviews/avg_stars drive the prior and
+    trust signals in the second pass)."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    return pd.DataFrame({
+        "doc_id": doc_ids,
+        "n_reviews": (doc_ids * 7919) % 120,
+        "avg_stars": 1.0 + ((doc_ids * 104729) % 401) / 100.0,
+    })
+
+
+def page_meta_cols(df):
+    """Same formulas as JVM expressions (exact integer arithmetic)."""
+    from pyspark.sql import functions as F
+    return df.withColumns({
+        "n_reviews": (F.col("doc_id") * 7919) % 120,
+        "avg_stars": 1.0 + ((F.col("doc_id") * 104729) % 401) / 100.0,
+    })
+
+
 def pages_df(spark: SparkSession, n: int, partitions: int | None = None
              ) -> DataFrame:
     """Distributed deterministic corpus of n pages."""

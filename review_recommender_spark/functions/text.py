@@ -7,9 +7,11 @@ path are reproduced here byte-for-byte (SURVEY.md §2.3):
     replace CR/LF with spaces, strip, collapse whitespace runs via
     ``" ".join(s.split())`` (splits on *all* Unicode whitespace).
   * T2 ``normalize_embed`` — nlp/11_build_product_embeddings.py:32-36:
-    same CR/LF replace + strip, collapse via ``re.sub(r"\\s+", " ", s)``
-    (regex ``\\s``, a slightly different whitespace class than str.split),
-    then truncate to 4000 chars.
+    same CR/LF replace + strip, collapse via ``re.sub(r"\\s+", " ", s)``,
+    then truncate to 4000 chars. (Python's str.split() and re \\s share the
+    same whitespace class — both follow str.isspace() — so the chains
+    differ only in the cap; Java's \\s is ASCII-only, which is why the JVM
+    fast path below is NOT byte-identical on exotic whitespace.)
 
 Each has (a) a plain-Python form (the oracle / parity target), and (b) an
 Arrow-vectorized pandas UDF for Spark (no per-row Python UDFs). The pandas
@@ -94,8 +96,10 @@ def looks_spammy_udf(s: pd.Series) -> pd.Series:
 # normalization differences cannot change token streams).
 
 def normalize_embed_col(col: Column) -> Column:
-    """JVM analogue of T2 (Java regex \\s; differs from Python \\s only on
-    exotic controls like \\x1c — see tests/test_normalize.py)."""
+    """JVM analogue of T2. Java's \\s is ASCII [ \\t\\n\\x0B\\f\\r] — it
+    misses Unicode whitespace (\\x1c, \\x85, NBSP...) that Python collapses,
+    so this is a fast path for ASCII-ish corpora; the Arrow UDF is the
+    byte-identical route (tests/test_normalize.py)."""
     c = F.regexp_replace(col, "[\r\n]", " ")
     c = F.trim(c)
     c = F.regexp_replace(c, "\\s+", " ")

@@ -255,6 +255,10 @@ def build_index(spark: SparkSession, docs: DataFrame, io: TableIO,
                .withColumn("term_bucket",
                            term_bucket_col(F.col("term"),
                                            cfg.index.term_buckets)))
+    # co-locate each bucket on one writer task (second shuffle, but of the
+    # already-encoded compact blocks): 1 file per bucket dir instead of
+    # tasks × buckets small files
+    encoded = encoded.repartition(cfg.index.term_buckets, "term_bucket")
     io.write(encoded, POSTINGS, partition_by=["term_bucket"],
              lineage={"parent": io.current_snapshot(LOCAL_TF)["snapshot_id"],
                       "shuffle_partitions": shuffle_partitions},

@@ -47,7 +47,9 @@ def html_to_text(df: DataFrame, bin_col: str = "html",
             pdf[out_col] = pdf[bin_col].map(html_to_text_py)
             yield pdf
 
-    schema = df.schema.add(out_col, "string")
+    from pyspark.sql import types as T
+    schema = T.StructType(list(df.schema.fields)
+                          + [T.StructField(out_col, T.StringType())])
     return df.mapInPandas(batches, schema=schema)
 
 

@@ -132,14 +132,24 @@ def _block_upper_bound_col(weights: dict[str, float], index: InvertedIndex):
 
 
 def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
-                     k: int = 10, seed_ranges: int = 8) -> DataFrame:
+                     k: int = 10, seed_ranges: int = 8,
+                     min_ranges_to_prune: int = 64) -> DataFrame:
     """Rank-identical to ``bm25_topk_exact``; skips doc-ranges whose summed
-    per-term upper bounds cannot reach the k-th best score."""
+    per-term upper bounds cannot reach the k-th best score.
+
+    Adaptive: when the query's terms touch fewer than
+    ``min_ranges_to_prune`` doc-ranges, the multi-job pruning machinery
+    cannot beat a single exact pass (job-scheduling overhead dominates), so
+    it falls through to the exact scorer. At 10^12-doc scale a head term
+    touches ~10^8 ranges and pruning pays for itself."""
     weights = query_term_weights(spark, index, query)
     if not weights:
         return spark.createDataFrame([], RESULT_SCHEMA)
     blocks = _query_blocks(spark, index, weights).withColumn(
         "ub", _block_upper_bound_col(weights, index))
+    n_ranges = blocks.select("range_id").distinct().count()
+    if n_ranges < min_ranges_to_prune:
+        return _topk(_score_blocks_df(blocks.drop("ub"), weights, index), k)
 
     # Per-range upper bound: Σ_t max over t's blocks in the range.
     range_bounds = (blocks.groupBy("range_id", "term")

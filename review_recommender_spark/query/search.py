@@ -1,0 +1,190 @@
+"""End-to-end hybrid search: dense retrieval → BM25 → second-pass fusion.
+
+Distributed shape (SURVEY.md §3.1 mapped to Spark):
+
+  1. dense retrieval — probe matrix broadcast; each Arrow batch of the
+     embeddings table computes a local cosine matmul and emits only its
+     per-query top-pool rows; a window rank keeps the global pool
+     (per-partition top-k then merge — the distributed analogue of
+     np.argpartition, O(pool) shuffle instead of O(N)).
+  2. BM25 — corpus-global scores from the posting index for all queries in
+     one pass: (query, term, weight) rows broadcast-joined to the pruned
+     posting blocks, decoded once per block, partials summed by
+     (query, doc). A BM25 score depends only on the doc itself, so scoring
+     just the union of pools is value-identical to the reference's
+     full-corpus get_scores + subset (quirk Q2).
+  3. second pass — pool rows grouped by query and scored by the
+     `secondpass.score_pool` kernel inside ``applyInPandas`` (the north
+     rule's "second-pass pandas UDF over the BM25 candidate pool").
+
+Single-query search is the batch of one; batch mode amortizes Spark jobs
+across the whole golden-query set.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import EngineConfig
+from ..index.build import InvertedIndex
+from .bm25 import _query_blocks, query_term_weights
+from .encoder import cross_encoder_score, encode_text
+from .secondpass import score_pool
+
+POOL_SCHEMA = ("query_id int, doc_id long, rank int, _final float, "
+               "_dense float, _bm25 float, _rerank float, _prior float, "
+               "_bestrev float, _gate float")
+
+
+def dense_topk_batch(spark: SparkSession, embeddings: DataFrame,
+                     queries: list[str], pool: int,
+                     id_col: str = "doc_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(query_id, doc_id, _dense) — global per-query top-pool by cosine."""
+    qmat = np.stack([encode_text(q) for q in queries])  # (Q, D), normalized
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            emb = emb / np.maximum(norms, 1e-12)
+            cos = (emb @ qmat.T).astype(np.float32)  # (n, Q)
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for qi in range(qmat.shape[0]):
+                col = cos[:, qi]
+                # local preselect MUST use the same total order as the
+                # global window (float32 desc, doc_id asc) — otherwise a
+                # float32-tied boundary row could be dropped differently
+                # depending on batch partitioning (breaks local[8] ==
+                # local[32] determinism)
+                top = np.lexsort((ids, -col))[:pool]
+                frames.append(pd.DataFrame({
+                    "query_id": qi,
+                    "doc_id": ids[top],
+                    "_dense": col[top],
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    local = embeddings.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id int, doc_id long, _dense float")
+    w = Window.partitionBy("query_id").orderBy(F.desc("_dense"),
+                                               F.asc("doc_id"))
+    return (local.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= pool).drop("__r"))
+
+
+def bm25_scores_batch(spark: SparkSession, index: InvertedIndex,
+                      queries: list[str]) -> DataFrame:
+    """(query_id, doc_id, _bm25_raw) for every doc matching ≥1 query term."""
+    weight_rows = []
+    for qi, q in enumerate(queries):
+        for term, wgt in query_term_weights(spark, index, q).items():
+            weight_rows.append((qi, term, float(wgt)))
+    if not weight_rows:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, _bm25_raw double")
+    wdf = spark.createDataFrame(weight_rows,
+                                "query_id int, term string, weight double")
+    all_weights = {t: 1.0 for _, t, _ in weight_rows}
+    blocks = _query_blocks(spark, index, all_weights)
+    # per-(query, term) weights broadcast-joined onto the pruned blocks;
+    # blocks of terms shared across queries duplicate per query, which is
+    # cheap (few terms, and the scan itself is partition-pruned)
+    joined = blocks.join(F.broadcast(wdf), "term")
+
+    k1, b = index.cfg.bm25.k1, index.cfg.bm25.b
+    avgdl = index.avgdl
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..index.codec import decode_block
+        for pdf in it:
+            if not len(pdf):
+                continue
+            qids, docs, scores = [], [], []
+            for qid, wgt, n, db, tb, lb in zip(
+                    pdf["query_id"], pdf["weight"], pdf["n"],
+                    pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"]):
+                d, t, ln = decode_block(bytes(db), bytes(tb), bytes(lb),
+                                        int(n))
+                tf = t.astype(np.float64)
+                denom = tf + k1 * (1 - b + b * ln.astype(np.float64) / avgdl)
+                s = wgt * (tf * (k1 + 1) / denom)
+                qids.append(np.full(len(d), qid, dtype=np.int32))
+                docs.append(d)
+                scores.append(s)
+            yield pd.DataFrame({
+                "query_id": np.concatenate(qids),
+                "doc_id": np.concatenate(docs),
+                "_bm25_raw": np.concatenate(scores),
+            })
+
+    return (joined.mapInPandas(
+        score, schema="query_id int, doc_id long, _bm25_raw double")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_bm25_raw").alias("_bm25_raw")))
+
+
+def hybrid_search_batch(spark: SparkSession, index: InvertedIndex,
+                        embeddings: DataFrame, doc_meta: DataFrame,
+                        queries: list[str], cfg: EngineConfig | None = None,
+                        k: int = 10,
+                        rerank_fn: Callable | None = cross_encoder_score,
+                        ) -> DataFrame:
+    """Full hybrid pipeline for a batch of queries.
+
+    doc_meta columns: doc_id, agg_text, n_reviews, avg_stars."""
+    cfg = cfg or index.cfg
+    sp = cfg.second_pass
+    pool = max(k, sp.rerank_k, sp.pool_floor)
+
+    dense = dense_topk_batch(spark, embeddings, queries, pool)
+    bm25 = bm25_scores_batch(spark, index, queries)
+    cand = (dense.join(bm25, ["query_id", "doc_id"], "left")
+            .fillna({"_bm25_raw": 0.0})
+            .join(doc_meta.select("doc_id", "agg_text", "n_reviews",
+                                  "avg_stars"), "doc_id"))
+
+    queries_b = list(queries)
+    cfg_sp = sp
+    rfn = rerank_fn
+    kk = k
+
+    def second_pass(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(key[0])
+        pdf = pdf.sort_values(["_dense", "doc_id"],
+                              ascending=[False, True],
+                              kind="stable").reset_index(drop=True)
+        pdf["_dense"] = pdf["_dense"].astype(np.float64)
+        top = score_pool(pdf, queries_b[qid], cfg_sp, rerank_fn=rfn, k=kk)
+        return pd.DataFrame({
+            "query_id": qid,
+            "doc_id": top["doc_id"].astype(np.int64),
+            "rank": np.arange(1, len(top) + 1, dtype=np.int32),
+            "_final": top["_final"].astype(np.float32),
+            "_dense": top["_dense_norm"].astype(np.float32),
+            "_bm25": top["_bm25"].astype(np.float32),
+            "_rerank": top["_rerank"].astype(np.float32),
+            "_prior": top["_prior"].astype(np.float32),
+            "_bestrev": top["_bestrev"].astype(np.float32),
+            "_gate": top["_gate"].astype(np.float32),
+        })
+
+    return (cand.groupBy("query_id")
+            .applyInPandas(second_pass, schema=POOL_SCHEMA))
+
+
+def hybrid_search(spark: SparkSession, index: InvertedIndex,
+                  embeddings: DataFrame, doc_meta: DataFrame, query: str,
+                  cfg: EngineConfig | None = None, k: int = 10,
+                  rerank_fn: Callable | None = cross_encoder_score,
+                  ) -> DataFrame:
+    return hybrid_search_batch(spark, index, embeddings, doc_meta, [query],
+                               cfg, k, rerank_fn).drop("query_id")

@@ -1,0 +1,68 @@
+"""IR metric unit tests — hand-computed values mirroring the reference's
+tests/test_performance_metrics.py cases, both DCG variants (quirk Q6)."""
+
+import math
+
+import pytest
+
+from review_recommender_spark.evalx.metrics import (dcg_at_k, dcg_exp_at_k,
+                                                    evaluate_query,
+                                                    mean_metrics, mrr,
+                                                    ndcg_at_k,
+                                                    precision_at_k,
+                                                    recall_at_k)
+
+
+def test_dcg_textbook():
+    # rel = [3,2,3,0,1,2]; DCG@6 = 3 + 2/log2(3) + 3/2 + 0 + 1/log2(6) + 2/log2(7)
+    rels = [3, 2, 3, 0, 1, 2]
+    expected = (3 + 2 / math.log2(3) + 3 / math.log2(4) + 0
+                + 1 / math.log2(6) + 2 / math.log2(7))
+    assert dcg_at_k(rels, 6) == pytest.approx(expected)
+
+
+def test_dcg_k_truncates():
+    assert dcg_at_k([1, 1, 1, 1], 2) == pytest.approx(1 + 1 / math.log2(3))
+
+
+def test_dcg_exp_variant():
+    # (2^3-1)/log2(2) + (2^2-1)/log2(3)
+    expected = 7 / 1.0 + 3 / math.log2(3)
+    assert dcg_exp_at_k([3, 2], 5) == pytest.approx(expected)
+
+
+def test_ndcg_perfect_ranking_is_one():
+    assert ndcg_at_k(["a", "b", "c"], {"a", "b", "c"}, 3) == pytest.approx(1.0)
+
+
+def test_ndcg_no_relevant_retrieved():
+    assert ndcg_at_k(["x", "y"], {"a"}, 10) == 0.0
+
+
+def test_ndcg_partial():
+    # relevant at ranks 1 and 3 of 3, |rel|=2 → idcg = 1 + 1/log2(3)
+    got = ndcg_at_k(["a", "x", "b"], {"a", "b"}, 3)
+    expected = (1 + 1 / math.log2(4)) / (1 + 1 / math.log2(3))
+    assert got == pytest.approx(expected)
+
+
+def test_mrr_first_hit_rank():
+    assert mrr(["x", "a", "y"], {"a"}) == pytest.approx(0.5)
+    assert mrr(["a"], {"a"}) == 1.0
+    assert mrr(["x", "y"], {"a"}) == 0.0
+
+
+def test_mrr_mean_over_queries():
+    ms = [evaluate_query(["a"], {"a"}), evaluate_query(["x", "a"], {"a"})]
+    assert mean_metrics(ms)["mrr"] == pytest.approx((1.0 + 0.5) / 2)
+
+
+def test_recall_divides_by_relevant_size():
+    assert recall_at_k(["a", "b"], {"a", "b", "c", "d"}, 10) == 0.5
+    assert recall_at_k([], {"a"}, 10) == 0.0
+    assert recall_at_k(["a"], set(), 10) == 0.0
+
+
+def test_precision():
+    assert precision_at_k(["a", "x", "b", "y"], {"a", "b"}, 4) == 0.5
+    assert precision_at_k(["a"], {"a"}, 5) == pytest.approx(0.2)

@@ -1,0 +1,155 @@
+"""Training-data ops: parity/quality tests for the rows-only entries —
+MinHash ≈ Jaccard, LSH recall vs brute force, simhash python-parity,
+multimodal plumbing, html extraction."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from review_recommender_spark.functions.tokenize import tokenize_k1_col
+from review_recommender_spark.ops import dedup as D
+from review_recommender_spark.ops import multimodal as MM
+from review_recommender_spark.ops import similarity as S
+from review_recommender_spark.ops import textstats as TS
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_minhash_estimates_jaccard(spark, docs_df):
+    """MinHash similarity (fraction of agreeing signature slots) must
+    correlate with true shingle Jaccard."""
+    d = (docs_df.filter(F.col("doc_id") < 60)
+         .select("doc_id",
+                 D.token_shingles(tokenize_k1_col(F.col("text")), 3)
+                 .alias("sh")))
+    k = 64
+    sigs = D.minhash_signatures(d, "doc_id", "sh", k=k).toPandas() \
+        .set_index("mh_id").sort_index()
+    true = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(d, "doc_id", "sh", 0.0).collect()}
+    errs = []
+    for (a, b), j in true.items():
+        if a in sigs.index and b in sigs.index:
+            est = (sigs.loc[a].to_numpy() == sigs.loc[b].to_numpy()).mean()
+            errs.append(abs(est - j))
+    assert errs and float(np.mean(errs)) < 0.12  # k=64 → σ ≈ sqrt(j(1-j)/64)
+
+
+def test_minhash_lsh_finds_planted_duplicates(spark, docs_df):
+    d = docs_df.select("doc_id", "text").filter(F.col("doc_id") < 100)
+    dup = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text")
+    uni = d.unionByName(dup).select(
+        "doc_id", D.token_shingles(tokenize_k1_col(F.col("text")), 3)
+        .alias("sh"))
+    sigs = D.minhash_signatures(uni, "doc_id", "sh", k=16)
+    cands = D.minhash_lsh_candidates(sigs, bands=4, rows_per_band=4) \
+        .collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in cands}
+    # every exact duplicate (identical shingle set → identical signature)
+    # must be a candidate
+    for i in range(20):
+        assert (i, i + 1000) in pairs, f"planted dup {i} missed"
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, emb_df):
+    probes = (emb_df.filter(F.col("vec_id") < 5)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").alias("probe_vec")))
+    exact = S.brute_force_cosine_topk(emb_df, probes, k=10).toPandas()
+    approx = S.lsh_cosine_topk(emb_df, probes, k=10, dim=64,
+                               n_planes=12, bands=4).toPandas()
+    recalls = []
+    for pid in range(5):
+        e = set(exact[exact["probe_id"] == pid]["vec_id"])
+        a = set(approx[approx["probe_id"] == pid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert float(np.mean(recalls)) >= 0.5, recalls
+    # the probe itself (cosine 1.0) must always survive bucketing
+    for pid in range(5):
+        assert pid in set(approx[approx["probe_id"] == pid]["vec_id"])
+
+
+def test_simhash_python_parity_and_similarity(spark, docs_df):
+    sub = docs_df.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    got = {r["doc_id"]: r["sh"] for r in
+           sub.select("doc_id",
+                      TS.simhash64_udf(F.col("text")).alias("sh")).collect()}
+    pdf = sub.toPandas()
+    # python-side recomputation through the same kernel must agree
+    exp = TS.simhash64_udf.func(pdf["text"])
+    for d, e in zip(pdf["doc_id"], exp):
+        assert got[d] == e
+    # identical texts → identical signatures; hamming(sig, sig) == 0
+    df2 = sub.withColumn("sh", TS.simhash64_udf(F.col("text")))
+    ham = df2.alias("a").join(df2.alias("b"),
+                              F.col("a.doc_id") == F.col("b.doc_id")) \
+        .select(TS.simhash_hamming(F.col("a.sh"), F.col("b.sh")).alias("h"))
+    assert ham.agg(F.max("h")).collect()[0][0] == 0
+
+
+def test_html_extraction_real_decode(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "html": [b"<html><body><p>hello <b>world</b></p></body></html>",
+                 None,
+                 "<div>unicode \xe9l\xe9phant</div>".encode()],
+    })
+    df = spark.createDataFrame(pdf, schema="doc_id long, html binary")
+    out = {r["doc_id"]: r["extracted_text"]
+           for r in MM.html_to_text(df).collect()}
+    assert out[0] == "hello world"
+    assert out[1] == ""
+    assert out[2] == "unicode éléphant"
+
+
+def test_multimodal_feature_plumbing(spark):
+    pdf = pd.DataFrame({"doc_id": [0, 1],
+                        "payload": [b"\x01\x02\x03\x04" * 64, None]})
+    df = spark.createDataFrame(pdf, schema="doc_id long, payload binary")
+    rows = {r["doc_id"]: r["features"]
+            for r in MM.image_feature_frame(df, "doc_id", "payload",
+                                            dim=16).collect()}
+    assert len(rows[0]) == 16
+    assert abs(float(np.linalg.norm(rows[0])) - 1.0) < 1e-5
+    assert all(v == 0.0 for v in rows[1])
+    with pytest.raises(NotImplementedError):
+        MM.decode_image_stub(b"\x00")
+
+
+def test_quality_score_orders_sanely(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["The quick brown fox jumps over the lazy dog and keeps "
+                 "running through the field for a while longer.",
+                 "@@@@ ---- !!!! 1234 %%%% ^^^^ &&&& #### $$$$ @@@@"],
+    })
+    df = spark.createDataFrame(pdf, schema="doc_id long, text string")
+    out = {r["doc_id"]: r["quality_score"]
+           for r in TS.quality_features(df).collect()}
+    assert out[0] > out[1]
+    # clean prose maxes the rubric; symbol soup loses the punct- and
+    # stopword-ratio components (keeps length/word-len/digit → 0.6)
+    assert out[0] > 0.8 and out[1] <= 0.6
+
+
+def test_lang_id_votes(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["the cat and the dog of the house is in that garden",
+                 "el perro y la casa de los gatos en un lugar",
+                 "zzz qqq xxx"],
+    })
+    df = spark.createDataFrame(pdf, schema="doc_id long, text string")
+    out = {r["doc_id"]: r["lang_pred"]
+           for r in TS.lang_id(df).collect()}
+    assert out[0] == "en" and out[1] == "es" and out[2] == "und"

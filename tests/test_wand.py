@@ -1,0 +1,58 @@
+"""Rank-safety of the block-max pruned scorer: identical top-k to the
+exact scorer for every golden query, plus pruning edge cases."""
+
+import numpy as np
+import pytest
+
+from review_recommender_spark.query.bm25 import (bm25_topk_exact,
+                                                 bm25_topk_pruned)
+
+QUERIES = [
+    "wireless bluetooth headphones",
+    "yellow cat socks",
+    "organic green tea",
+    "the and of",             # all stopwords → empty
+    "water people time",      # common terms (negative-idf territory)
+    "usb charging cable long",
+    "zzznope missing terms",
+]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+@pytest.mark.parametrize("k", [1, 10, 50])
+def test_pruned_equals_exact(spark, small_index, query, k):
+    exact = bm25_topk_exact(spark, small_index, query, k=k).collect()
+    pruned = bm25_topk_pruned(spark, small_index, query, k=k,
+                              seed_ranges=2).collect()
+    assert [r["doc_id"] for r in pruned] == [r["doc_id"] for r in exact]
+    np.testing.assert_allclose([r["score"] for r in pruned],
+                               [r["score"] for r in exact], rtol=1e-12)
+
+
+def test_pruned_small_seed_still_safe(spark, small_index):
+    """Even a 1-range seed must stay rank-identical (θ only prunes ranges
+    whose upper bound cannot reach it)."""
+    exact = bm25_topk_exact(spark, small_index, "wireless sound quality",
+                            k=10).collect()
+    pruned = bm25_topk_pruned(spark, small_index, "wireless sound quality",
+                              k=10, seed_ranges=1).collect()
+    assert [r["doc_id"] for r in pruned] == [r["doc_id"] for r in exact]
+
+
+def test_block_bounds_dominate_scores(spark, small_index):
+    """Every block's (max_tf, min_dl) upper bound must dominate the true
+    score contribution of each posting in it — for any k1/b this follows
+    from monotonicity; verify numerically at the configured params."""
+    from review_recommender_spark.index.codec import decode_block
+
+    k1, b = small_index.cfg.bm25.k1, small_index.cfg.bm25.b
+    avgdl = small_index.avgdl
+    rows = small_index.postings(spark).limit(500).collect()
+    for r in rows:
+        d, t, ln = decode_block(bytes(r["doc_bytes"]), bytes(r["tf_bytes"]),
+                                bytes(r["dl_bytes"]), r["n"])
+        tf = t.astype(float)
+        contrib = tf * (k1 + 1) / (tf + k1 * (1 - b + b * ln / avgdl))
+        mt = float(r["max_tf"])
+        bound = mt * (k1 + 1) / (mt + k1 * (1 - b + b * r["min_dl"] / avgdl))
+        assert (contrib <= bound + 1e-12).all()
