@@ -1,0 +1,132 @@
+"""CLI mirroring the reference's ``python app/test.py`` entry point
+(app/test.py:345-361) against the distributed engine.
+
+Usage:
+  python -m review_recommender_spark.cli build  --corpus <parquet|synth:N> --index <dir>
+  python -m review_recommender_spark.cli search --index <dir> -q "..." [-k 10]
+         [--rerank-k 50] [--gate-penalty 0.5] [--profile cli|app]
+         [--w-dense .55 --w-bm25 .15 --w-rerank .15 --w-prior .10 --w-best .05]
+  python -m review_recommender_spark.cli eval   --index <dir> --corpus synth:N
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="review_recommender_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--corpus", required=True,
+                   help="parquet path or synth:N for the synthetic corpus")
+    b.add_argument("--index", required=True)
+    b.add_argument("--chunks", type=int, default=1)
+    b.add_argument("--cores", type=int, default=None)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--corpus", required=True)
+    s.add_argument("-q", "--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--rerank-k", type=int, default=50)
+    s.add_argument("--gate-penalty", type=float, default=0.5)
+    s.add_argument("--profile", choices=["cli", "app"], default="cli")
+    s.add_argument("--bm25-only", action="store_true",
+                   help="skip the hybrid second pass (pure BM25 top-k)")
+    s.add_argument("--json-out", default=None)
+    s.add_argument("--cores", type=int, default=None)
+
+    e = sub.add_parser("eval")
+    e.add_argument("--index", required=True)
+    e.add_argument("--corpus", required=True)
+    e.add_argument("--cores", type=int, default=None)
+
+    args = ap.parse_args(argv)
+
+    from .config import EngineConfig, app_profile, bm25_north, cli_profile
+    from .corpus.pages import page_meta_cols, pages_df
+    from .index.build import InvertedIndex, build_index
+    from .index.tableio import TableIO
+    from .query.bm25 import bm25_topk_pruned
+    from .query.encoder import embed_documents
+    from .query.search import hybrid_search
+    from .session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("rrs-cli", cores=args.cores)
+
+    def load_corpus(spec: str):
+        if spec.startswith("synth:"):
+            return pages_df(spark, int(spec.split(":", 1)[1]))
+        return spark.read.parquet(spec)
+
+    cfg = EngineConfig(bm25=bm25_north())
+
+    if args.cmd == "build":
+        docs = load_corpus(args.corpus)
+        idx = build_index(spark, docs, TableIO(args.index), cfg,
+                          n_chunks=args.chunks)
+        print(json.dumps({"n_docs": idx.n_docs, "vocab": idx.vocab_size,
+                          "avgdl": idx.avgdl}))
+        return 0
+
+    idx = InvertedIndex.load(spark, TableIO(args.index), cfg)
+
+    if args.cmd == "search":
+        if args.bm25_only:
+            rows = bm25_topk_pruned(spark, idx, args.query,
+                                    k=args.k).collect()
+            out = [{"doc_id": r["doc_id"], "score": round(r["score"], 4)}
+                   for r in rows]
+        else:
+            profile = cli_profile() if args.profile == "cli" else app_profile()
+            profile = dataclasses.replace(profile, rerank_k=args.rerank_k,
+                                          gate_penalty=args.gate_penalty)
+            cfg2 = dataclasses.replace(cfg, second_pass=profile)
+            idx = dataclasses.replace(idx, cfg=cfg2)
+            docs = load_corpus(args.corpus)
+            emb = embed_documents(docs.select("doc_id", "text")) \
+                .select("doc_id", "embedding")
+            meta = (docs.select("doc_id", F.col("text").alias("agg_text"))
+                    .join(page_meta_cols(docs.select("doc_id")), "doc_id"))
+            rows = hybrid_search(spark, idx, emb, meta, args.query,
+                                 k=args.k).collect()
+            out = [{"doc_id": r["doc_id"],
+                    "score": round(float(r["_final"]), 4),
+                    "dense": round(float(r["_dense"]), 4),
+                    "bm25": round(float(r["_bm25"]), 4),
+                    "rerank": round(float(r["_rerank"]), 4),
+                    "prior": round(float(r["_prior"]), 4)}
+                   for r in rows]
+        print("\nTop results:")
+        for i, r in enumerate(out, 1):
+            extras = "  ".join(f"{k}={v}" for k, v in r.items()
+                               if k not in ("doc_id", "score"))
+            print(f"[{i}] doc {r['doc_id']}  score={r['score']}  {extras}")
+        if args.json_out:
+            with open(args.json_out, "w") as f:
+                json.dump({"query": args.query, "results": out}, f, indent=2)
+            print(f"[ok] wrote {args.json_out}")
+        return 0
+
+    if args.cmd == "eval":
+        from .evalx.run_eval import format_table, run_golden_eval
+        docs = load_corpus(args.corpus)
+        emb = embed_documents(docs.select("doc_id", "text")) \
+            .select("doc_id", "embedding").cache()
+        meta = (docs.select("doc_id", F.col("text").alias("agg_text"))
+                .join(page_meta_cols(docs.select("doc_id")), "doc_id"))
+        res = run_golden_eval(spark, idx, emb, meta, n_docs=idx.n_docs)
+        print(format_table(res))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -5,25 +5,30 @@ Replaces the reference's in-RAM index (a pickled token corpus re-scanned by
 app/test.py:147-157) with a persisted, compressed, term-partitioned index
 built in ONE large shuffle:
 
-  Stage A (map-only, chunked, resumable):
-      pages → K1 tokenize → per-doc term counts → ``local_tf`` table
-      rows: (doc_id, term, tf, dl); one sentinel row (term=NULL) per doc so
-      zero-token docs still contribute to doc_stats/avgdl (BM25Okapi counts
-      them). This is the "per-partition inverted index" checkpoint: each
-      chunk commits a manifest and a re-run skips completed chunks.
+  Stage A (map-only, chunked, resumable, pure JVM / whole-stage codegen):
+      pages → K1 tokenize → explode → ``local_tf`` table with one row per
+      token OCCURRENCE (doc_id, dl, term) plus one sentinel row (term=NULL)
+      per doc so zero-token docs still contribute to doc_stats/avgdl
+      (BM25Okapi counts them). No Python worker touches the scan stage;
+      tf materializes later as run-lengths inside the encode kernel. This
+      is the "per-partition inverted index" checkpoint: each chunk commits
+      a manifest and a re-run skips completed chunks.
 
   Stage B (map-only): doc_stats (doc_id, doc_len) + corpus_stats
       (n_docs, avgdl, total_tokens) from the sentinel rows.
 
-  Stage C (THE shuffle): tf rows hash-partitioned by (term, range_id) —
-      range_id = doc_id >> range_shift. Hashing on the *pair* is the skew
-      treatment the north rule calls "salting head terms": a head term's
-      postings are split across reducers by doc-range, so no reducer ever
-      holds more than one range (≤ 2^range_shift postings) of any term,
-      while each (term, range) group stays whole on one reducer. Within a
-      partition, rows are sorted (term, range_id, doc_id) and a mapInPandas
-      kernel encodes 128-posting delta+varint blocks with block-max
-      metadata (index/codec.py). Blocks are written partitioned by
+  Stage C (THE shuffle): occurrence rows hash-partitioned by
+      (term, range_id) — range_id = doc_id >> range_shift. Hashing on the
+      *pair* is the skew treatment the north rule calls "salting head
+      terms": a head term's postings are split across reducers by
+      doc-range, so no reducer ever holds more than one range
+      (≤ 2^range_shift docs) of any term, while each (term, range) group
+      stays whole on one reducer. Within a partition, rows are sorted
+      (term, range_id, doc_id); the mapInPandas kernel collapses runs of
+      equal (term, range, doc) into tf by vectorized run-length, then
+      bulk-encodes 128-posting delta+varint blocks with block-max metadata
+      (index/codec.py) — three varint passes per batch, no per-block Python
+      calls. Blocks are written partitioned by
       ``term_bucket = crc32(term) % term_buckets`` for directory-level
       pruning of query terms (crc32 is computable identically driver-side).
 
@@ -38,6 +43,7 @@ manifest (index/tableio.py).
 
 from __future__ import annotations
 
+import os
 import zlib
 from dataclasses import dataclass
 from typing import Iterator
@@ -49,7 +55,6 @@ from pyspark.sql import functions as F
 from ..config import EngineConfig
 from ..functions.tokenize import (STOP_INDEX, TOKEN_RE, tokenize_k1_col,
                                   tokenize_k1_udf)
-from .codec import encode_block
 from .tableio import ChunkedWriter, TableIO, config_fingerprint
 
 LOCAL_TF = "local_tf"
@@ -72,41 +77,21 @@ def term_bucket_col(col, n_buckets: int):
 
 
 def _tf_rows(tokens_df: DataFrame, cap: int) -> DataFrame:
-    """(doc_id, toks) → (doc_id, term, tf, dl) + per-doc sentinel row.
+    """(doc_id, toks) → one row per token OCCURRENCE (doc_id, dl, term),
+    plus a per-doc sentinel row (term=NULL) carrying the doc length.
 
-    Counting happens map-side inside an Arrow batch (pandas explode +
-    groupby — C-level vectorized), so the only cluster-wide shuffle of
-    token-scale data in the whole build is Stage C's (term, range) shuffle.
+    Pure JVM (whole-stage codegen, no Python worker): counting (doc, term)
+    pairs is deferred to the encode kernel, where consecutive equal doc_ids
+    inside a sorted (term, range) run collapse into tf by run-length — a
+    vectorized reduceat. Shuffling raw occurrences instead of (doc, term,
+    tf) rows costs only ~8% extra volume (most tf are 1) and removes the
+    JVM↔Python round-trip from the scan stage entirely.
     """
-
-    def count_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            toks = pdf["toks"]
-            dl = toks.map(len)
-            sent = pd.DataFrame({
-                "doc_id": pdf["doc_id"].to_numpy(),
-                "term": None,
-                "tf": 0,
-                "dl": dl.to_numpy(),
-            })
-            long = pd.DataFrame({"doc_id": pdf["doc_id"], "term": toks}).explode(
-                "term", ignore_index=True).dropna(subset=["term"])
-            if len(long):
-                tf = (long.groupby(["doc_id", "term"], sort=False)
-                      .size().rename("tf").reset_index())
-                tf = tf.merge(pd.DataFrame({"doc_id": pdf["doc_id"],
-                                            "dl": dl.to_numpy()}), on="doc_id")
-            else:
-                tf = pd.DataFrame(columns=["doc_id", "term", "tf", "dl"])
-            out = pd.concat([sent, tf], ignore_index=True)
-            out["tf"] = out["tf"].astype("int32")
-            out["dl"] = out["dl"].astype("int32")
-            yield out
-
-    return tokens_df.mapInPandas(count_batches,
-                                 schema="doc_id long, term string, tf int, dl int")
+    return tokens_df.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("dl"),
+        F.explode(F.concat(F.array(F.lit(None).cast("string")),
+                           F.col("toks"))).alias("term"))
 
 
 def _tokens_df(docs: DataFrame, cfg: EngineConfig, doc_id_col: str,
@@ -124,57 +109,85 @@ def _encode_partitions(cfg: EngineConfig):
 
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
-        pending: pd.DataFrame | None = None
+        from .codec import encode_blocks_bulk
 
-        def encode_groups(pdf: pd.DataFrame, flush_all: bool) -> tuple[pd.DataFrame | None, list]:
-            rows = []
+        pending: pd.DataFrame | None = None
+        cols = ["term", "range_id", "block_id", "n", "first_doc_id",
+                "last_doc_id", "max_tf", "min_dl", "doc_bytes", "tf_bytes",
+                "dl_bytes"]
+
+        def encode_groups(pdf: pd.DataFrame, flush_all: bool
+                          ) -> tuple[pd.DataFrame | None, pd.DataFrame | None]:
             if len(pdf) == 0:
-                return None, rows
+                return None, None
             # group-change detection on the raw columns (string-concat keys
             # are unsafe: pandas strips NUL separators, creating collisions
             # like 'tok205'+SEP+'14' == 'tok2051'+SEP+'4')
             tcol = pdf["term"].to_numpy()
             rcol = pdf["range_id"].to_numpy()
-            boundaries = np.flatnonzero((tcol[1:] != tcol[:-1])
-                                        | (rcol[1:] != rcol[:-1])) + 1
-            starts = np.concatenate([[0], boundaries])
-            ends = np.concatenate([boundaries, [len(pdf)]])
-            last_start = starts[-1]
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = (tcol[1:] != tcol[:-1]) | (rcol[1:] != rcol[:-1])
             remainder = None
-            for s, e in zip(starts, ends):
-                if not flush_all and s == last_start:
-                    remainder = pdf.iloc[s:]
-                    break
-                grp = pdf.iloc[s:e]
-                term = grp["term"].iat[0]
-                range_id = int(grp["range_id"].iat[0])
-                doc_ids = grp["doc_id"].to_numpy()
-                tfs = grp["tf"].to_numpy()
-                dls = grp["dl"].to_numpy()
-                for bi, off in enumerate(range(0, len(grp), block_size)):
-                    d = doc_ids[off:off + block_size]
-                    t = tfs[off:off + block_size]
-                    ln = dls[off:off + block_size]
-                    db, tb, lb = encode_block(d, t, ln)
-                    rows.append((term, range_id, bi, len(d), int(d[0]),
-                                 int(d[-1]), int(t.max()), int(ln.min()),
-                                 db, tb, lb))
-            return remainder, rows
+            if not flush_all:
+                # hold back the last (possibly batch-spanning) group
+                last_start = int(np.flatnonzero(change)[-1])
+                remainder = pdf.iloc[last_start:]
+                pdf = pdf.iloc[:last_start]
+                if len(pdf) == 0:
+                    return remainder, None
+                tcol, rcol, change = (tcol[:last_start], rcol[:last_start],
+                                      change[:last_start])
+            # collapse raw occurrence rows into postings: a run of equal
+            # (term, range, doc) rows becomes one posting with tf = run
+            # length (rows arrive sorted by term, range_id, doc_id)
+            raw_docs = pdf["doc_id"].to_numpy()
+            run_change = change.copy()
+            run_change[1:] |= raw_docs[1:] != raw_docs[:-1]
+            runs = np.flatnonzero(run_change)
+            doc_ids = raw_docs[runs]
+            tfs = np.diff(np.append(runs, len(pdf))).astype(np.int64)
+            dls = pdf["dl"].to_numpy(dtype=np.int64)[runs]
+            tcol = tcol[runs]
+            rcol = rcol[runs]
+            change = change[runs]
 
-        cols = ["term", "range_id", "block_id", "n", "first_doc_id",
-                "last_doc_id", "max_tf", "min_dl", "doc_bytes", "tf_bytes",
-                "dl_bytes"]
+            # per-posting index within its group → block starts, vectorized
+            n = len(doc_ids)
+            idx = np.arange(n, dtype=np.int64)
+            group_id = np.cumsum(change) - 1
+            group_start = idx[change][group_id]
+            rel = idx - group_start
+            is_block_start = (rel % block_size) == 0
+            bs = np.flatnonzero(is_block_start)
+            bend = np.append(bs[1:], n)
+            db, tb, lb = encode_blocks_bulk(doc_ids, tfs, dls, bs)
+            out = pd.DataFrame({
+                "term": tcol[bs],
+                "range_id": rcol[bs],
+                "block_id": (rel[bs] // block_size).astype(np.int32),
+                "n": (bend - bs).astype(np.int32),
+                "first_doc_id": doc_ids[bs],
+                "last_doc_id": doc_ids[bend - 1],
+                "max_tf": np.maximum.reduceat(tfs, bs).astype(np.int32),
+                "min_dl": np.minimum.reduceat(dls, bs).astype(np.int32),
+                "doc_bytes": db,
+                "tf_bytes": tb,
+                "dl_bytes": lb,
+            }, columns=cols)
+            return remainder, out
+
         for pdf in it:
             if pending is not None:
                 pdf = pd.concat([pending, pdf], ignore_index=True)
                 pending = None
-            pending, rows = encode_groups(pdf, flush_all=False)
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
+            pending, out = encode_groups(pdf, flush_all=False)
+            if out is not None and len(out):
+                yield out
         if pending is not None and len(pending):
-            _, rows = encode_groups(pending, flush_all=True)
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
+            _, out = encode_groups(pending, flush_all=True)
+            if out is not None and len(out):
+                yield out
 
     return encode
 
@@ -280,20 +293,29 @@ def build_index(spark: SparkSession, docs: DataFrame, io: TableIO,
     eps_val = cfg.bm25.epsilon * avg_idf
     term_stats = raw_idf.withColumn(
         "idf", F.when(F.col("idf_raw") < 0, F.lit(eps_val))
-        .otherwise(F.col("idf_raw")))
-    io.write(term_stats, TERM_STATS,
+        .otherwise(F.col("idf_raw"))).withColumn(
+        "term_bucket", term_bucket_col(F.col("term"), cfg.index.term_buckets))
+    term_stats = term_stats.repartition(cfg.index.term_buckets, "term_bucket")
+    io.write(term_stats, TERM_STATS, partition_by=["term_bucket"],
              lineage={"parent": io.current_snapshot(POSTINGS)["snapshot_id"],
                       "epsilon": cfg.bm25.epsilon},
              metrics={"vocab_size": vocab_size, "avg_idf": avg_idf})
 
-    corpus_stats = spark.createDataFrame(
-        [(int(n_docs), float(avgdl), int(total_tokens), int(vocab_size),
-          float(avg_idf))],
-        "n_docs long, avgdl double, total_tokens long, vocab_size long, "
-        "avg_idf double")
-    io.write(corpus_stats, CORPUS_STATS,
-             lineage={"parent": io.current_snapshot(TERM_STATS)["snapshot_id"]},
-             metrics={"n_docs": int(n_docs), "vocab_size": int(vocab_size)})
+    # one row — write directly with pyarrow on the driver (a Spark job for
+    # a single row costs 1-2s of pure scheduling overhead)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(io.path(CORPUS_STATS), exist_ok=True)
+    pq.write_table(
+        pa.table({"n_docs": [int(n_docs)], "avgdl": [float(avgdl)],
+                  "total_tokens": [int(total_tokens)],
+                  "vocab_size": [int(vocab_size)],
+                  "avg_idf": [float(avg_idf)]}),
+        os.path.join(io.path(CORPUS_STATS), "part-00000.parquet"))
+    io.commit_snapshot(
+        CORPUS_STATS,
+        lineage={"parent": io.current_snapshot(TERM_STATS)["snapshot_id"]},
+        metrics={"n_docs": int(n_docs), "vocab_size": int(vocab_size)})
 
     return InvertedIndex(io=io, cfg=cfg, n_docs=int(n_docs),
                          avgdl=float(avgdl), vocab_size=int(vocab_size))

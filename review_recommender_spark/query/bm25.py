@@ -5,25 +5,28 @@ dense score for every document on every query — app/test.py:168-173, a scan
 the comment at :169 wrongly claims is candidates-only; SURVEY.md quirk Q2)
 with:
 
-  exact path   : partition-pruned scan of the query terms' posting blocks
+  exact path   : ONE Spark action. The query's (term, weight=idf·qtf) rows
+                 are resolved by a broadcast join against the
+                 bucket-partitioned term_stats table inside the same plan,
+                 joined onto the partition-pruned posting blocks
                  (directory pruning on term_bucket, row-group pruning on
-                 term) → vectorized decode+score in Arrow batches → one
-                 shuffle of candidate (doc_id, partial) rows →
-                 TakeOrderedAndProject top-k.
+                 term), decoded+scored in Arrow batches, summed per doc,
+                 and TakeOrderedAndProject'ed. No separate metadata
+                 round-trip per query.
 
-  pruned path  : block-max pruning at doc-range granularity. Per-block
-                 score upper bounds come from (max_tf, min_dl) metadata —
-                 valid for any (k1, b). Ranges whose summed per-term bounds
-                 cannot beat the current k-th score are skipped entirely
-                 (their blocks are never decoded). The threshold is seeded
-                 by exactly scoring the most promising ranges first. This is
-                 the distributed analogue of block-max WAND: the doc-range is
-                 the pruning unit (blocks are range-aligned at build time),
-                 which keeps the decision vectorizable and rank-safe —
-                 skipping a range drops *whole documents*, never a single
-                 term's contribution. Scores of surviving docs are exact, so
-                 the result is rank-identical to the exact path (asserted in
-                 tests/test_wand.py).
+  pruned path  : block-max pruning at doc-range granularity for corpora
+                 whose query terms touch many ranges. Per-block upper
+                 bounds come from (max_tf, min_dl) metadata — valid for any
+                 (k1, b). Ranges whose summed per-term bounds cannot beat
+                 the current k-th score are skipped (their blocks never
+                 decoded); the threshold is seeded by exactly scoring the
+                 most promising ranges. Rank-safe: skipping a range drops
+                 whole documents, never a single term's contribution, and
+                 survivors are scored exactly — so results are
+                 rank-identical to the exact path (tests/test_wand.py).
+                 Below ``min_ranges_to_prune`` ranges it falls through to
+                 the exact path (the pruning machinery costs extra Spark
+                 jobs that only pay off at scale).
 
 Scoring formula per SURVEY.md §2.12 (BM25Okapi semantics): repeated query
 tokens weight a term by its query multiplicity; unknown terms contribute 0.
@@ -38,7 +41,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import EngineConfig
 from ..functions.tokenize import tokenize_k2_py
 from ..index.build import InvertedIndex, term_bucket_py
 from ..index.codec import decode_block
@@ -46,59 +48,91 @@ from ..index.codec import decode_block
 RESULT_SCHEMA = "doc_id long, score double"
 
 
-def query_term_weights(spark: SparkSession, index: InvertedIndex,
-                       query: str) -> dict[str, float]:
-    """K2-tokenize the query and resolve per-term weights idf(t) * qtf(t).
-
-    Unknown terms drop out (they contribute 0 in BM25Okapi)."""
-    qtf = Counter(tokenize_k2_py(query))
-    if not qtf:
-        return {}
-    terms = sorted(qtf)
-    rows = (index.term_stats(spark)
-            .filter(F.col("term").isin(terms))
-            .select("term", "idf").collect())
-    return {r["term"]: r["idf"] * qtf[r["term"]] for r in rows}
+def _qtf(query: str) -> dict[str, int]:
+    return dict(Counter(tokenize_k2_py(query)))
 
 
-def _query_blocks(spark: SparkSession, index: InvertedIndex,
-                  weights: dict[str, float]) -> DataFrame:
-    terms = sorted(weights)
+def _term_stats_pruned(spark: SparkSession, index: InvertedIndex,
+                       terms: list[str]) -> DataFrame:
     buckets = sorted({term_bucket_py(t, index.cfg.index.term_buckets)
                       for t in terms})
-    return (index.postings(spark)
+    return (index.term_stats(spark)
             .filter(F.col("term_bucket").isin(buckets)
                     & F.col("term").isin(terms)))
 
 
-def _score_blocks_df(blocks: DataFrame, weights: dict[str, float],
-                     index: InvertedIndex) -> DataFrame:
-    """Decode + score posting blocks → (doc_id, partial score) rows."""
+def weights_df(spark: SparkSession, index: InvertedIndex,
+               queries: list[str]) -> DataFrame:
+    """(query_id, term, weight=idf·qtf) for a batch of queries, resolved by
+    one join against the bucket-pruned term_stats scan (no collect)."""
+    rows = []
+    for qi, q in enumerate(queries):
+        for term, n in _qtf(q).items():
+            rows.append((qi, term, n))
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id int, term string, weight double")
+    qdf = spark.createDataFrame(rows, "query_id int, term string, qtf int")
+    stats = _term_stats_pruned(spark, index, sorted({t for _, t, _ in rows}))
+    return (F.broadcast(qdf).join(stats, "term")
+            .select("query_id", "term",
+                    (F.col("idf") * F.col("qtf")).alias("weight")))
+
+
+def query_term_weights(spark: SparkSession, index: InvertedIndex,
+                       query: str) -> dict[str, float]:
+    """Driver-side weights dict (used by the pruned path, which needs the
+    values for its bound expressions)."""
+    qtf = _qtf(query)
+    if not qtf:
+        return {}
+    rows = _term_stats_pruned(spark, index, sorted(qtf)) \
+        .select("term", "idf").collect()
+    return {r["term"]: r["idf"] * qtf[r["term"]] for r in rows}
+
+
+def _query_blocks(spark: SparkSession, index: InvertedIndex,
+                  terms: list[str]) -> DataFrame:
+    buckets = sorted({term_bucket_py(t, index.cfg.index.term_buckets)
+                      for t in terms})
+    return (index.postings(spark)
+            .filter(F.col("term_bucket").isin(buckets)
+                    & F.col("term").isin(sorted(terms))))
+
+
+def _score_weighted_blocks(joined: DataFrame, index: InvertedIndex,
+                           with_query_id: bool) -> DataFrame:
+    """Decode + score posting blocks carrying a ``weight`` column (and
+    optionally ``query_id``) → per-posting partial scores."""
     k1, b = index.cfg.bm25.k1, index.cfg.bm25.b
     avgdl = index.avgdl
-    w = dict(weights)
 
-    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
         for pdf in it:
-            if len(pdf) == 0:
+            if not len(pdf):
                 continue
-            doc_parts, score_parts = [], []
-            for term, n, db, tb, lb in zip(pdf["term"], pdf["n"],
-                                           pdf["doc_bytes"], pdf["tf_bytes"],
-                                           pdf["dl_bytes"]):
-                doc_ids, tfs, dls = decode_block(bytes(db), bytes(tb),
-                                                 bytes(lb), int(n))
-                tfs = tfs.astype(np.float64)
-                denom = tfs + k1 * (1 - b + b * dls.astype(np.float64) / avgdl)
-                score_parts.append(w[term] * (tfs * (k1 + 1) / denom))
-                doc_parts.append(doc_ids)
-            yield pd.DataFrame({
-                "doc_id": np.concatenate(doc_parts),
-                "score": np.concatenate(score_parts),
-            })
+            qids, docs, scores = [], [], []
+            qcol = pdf["query_id"] if with_query_id else [0] * len(pdf)
+            for qid, wgt, n, db, tb, lb in zip(
+                    qcol, pdf["weight"], pdf["n"], pdf["doc_bytes"],
+                    pdf["tf_bytes"], pdf["dl_bytes"]):
+                d, t, ln = decode_block(bytes(db), bytes(tb), bytes(lb),
+                                        int(n))
+                tf = t.astype(np.float64)
+                denom = tf + k1 * (1 - b + b * ln.astype(np.float64) / avgdl)
+                s = wgt * (tf * (k1 + 1) / denom)
+                qids.append(np.full(len(d), qid, dtype=np.int32))
+                docs.append(d)
+                scores.append(s)
+            out = {"doc_id": np.concatenate(docs),
+                   "score": np.concatenate(scores)}
+            if with_query_id:
+                out = {"query_id": np.concatenate(qids), **out}
+            yield pd.DataFrame(out)
 
-    return blocks.mapInPandas(score_batches, schema=RESULT_SCHEMA)
+    schema = ("query_id int, " if with_query_id else "") + RESULT_SCHEMA
+    return joined.mapInPandas(score, schema=schema)
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
@@ -110,12 +144,15 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
 
 def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query: str,
                     k: int = 10) -> DataFrame:
-    """Exact BM25 top-k: decodes every posting block of the query's terms."""
-    weights = query_term_weights(spark, index, query)
-    if not weights:
+    """Exact BM25 top-k in one action."""
+    qtf = _qtf(query)
+    if not qtf:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    blocks = _query_blocks(spark, index, weights)
-    return _topk(_score_blocks_df(blocks, weights, index), k)
+    w = weights_df(spark, index, [query]).drop("query_id")
+    blocks = _query_blocks(spark, index, sorted(qtf))
+    joined = blocks.join(F.broadcast(w), "term")
+    return _topk(_score_weighted_blocks(joined, index, with_query_id=False),
+                 k)
 
 
 def _block_upper_bound_col(weights: dict[str, float], index: InvertedIndex):
@@ -133,23 +170,23 @@ def _block_upper_bound_col(weights: dict[str, float], index: InvertedIndex):
 
 def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
                      k: int = 10, seed_ranges: int = 8,
-                     min_ranges_to_prune: int = 64) -> DataFrame:
+                     min_ranges_to_prune: int = 1024) -> DataFrame:
     """Rank-identical to ``bm25_topk_exact``; skips doc-ranges whose summed
-    per-term upper bounds cannot reach the k-th best score.
-
-    Adaptive: when the query's terms touch fewer than
-    ``min_ranges_to_prune`` doc-ranges, the multi-job pruning machinery
-    cannot beat a single exact pass (job-scheduling overhead dominates), so
-    it falls through to the exact scorer. At 10^12-doc scale a head term
-    touches ~10^8 ranges and pruning pays for itself."""
+    per-term upper bounds cannot reach the k-th best score. Falls through
+    to the exact single-action path when the query touches few ranges
+    (pruning's extra jobs only pay off at scale — a head term at 10^12
+    docs touches ~10^8 ranges)."""
     weights = query_term_weights(spark, index, query)
     if not weights:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    blocks = _query_blocks(spark, index, weights).withColumn(
+    wdf = spark.createDataFrame(list(weights.items()),
+                                "term string, weight double")
+    blocks = _query_blocks(spark, index, sorted(weights)).withColumn(
         "ub", _block_upper_bound_col(weights, index))
     n_ranges = blocks.select("range_id").distinct().count()
     if n_ranges < min_ranges_to_prune:
-        return _topk(_score_blocks_df(blocks.drop("ub"), weights, index), k)
+        joined = blocks.drop("ub").join(F.broadcast(wdf), "term")
+        return _topk(_score_weighted_blocks(joined, index, False), k)
 
     # Per-range upper bound: Σ_t max over t's blocks in the range.
     range_bounds = (blocks.groupBy("range_id", "term")
@@ -163,19 +200,21 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
                 .limit(seed_ranges).collect()]
         if not seed:
             return spark.createDataFrame([], RESULT_SCHEMA)
+        seed_blocks = blocks.filter(F.col("range_id").isin(seed)) \
+            .join(F.broadcast(wdf), "term")
         seed_scored = _topk(
-            _score_blocks_df(blocks.filter(F.col("range_id").isin(seed)),
-                             weights, index), k).collect()
+            _score_weighted_blocks(seed_blocks, index, False), k).collect()
         theta = (seed_scored[k - 1]["score"]
                  if len(seed_scored) >= k else float("-inf"))
 
         survivor_ranges = (range_bounds
                            .filter((F.col("range_ub") > theta)
                                    & ~F.col("range_id").isin(seed)))
-        rest = _topk(
-            _score_blocks_df(
-                blocks.join(F.broadcast(survivor_ranges.select("range_id")),
-                            "range_id"), weights, index), k)
+        rest_blocks = (blocks
+                       .join(F.broadcast(survivor_ranges.select("range_id")),
+                             "range_id")
+                       .join(F.broadcast(wdf), "term"))
+        rest = _topk(_score_weighted_blocks(rest_blocks, index, False), k)
         seed_df = spark.createDataFrame(
             [(r["doc_id"], r["score"]) for r in seed_scored], RESULT_SCHEMA)
         return (seed_df.unionByName(rest)

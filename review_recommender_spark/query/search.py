@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..config import EngineConfig
 from ..index.build import InvertedIndex
-from .bm25 import _query_blocks, query_term_weights
+from .bm25 import _query_blocks, _score_weighted_blocks, weights_df
 from .encoder import cross_encoder_score, encode_text
 from .secondpass import score_pool
 
@@ -83,53 +83,22 @@ def dense_topk_batch(spark: SparkSession, embeddings: DataFrame,
 
 def bm25_scores_batch(spark: SparkSession, index: InvertedIndex,
                       queries: list[str]) -> DataFrame:
-    """(query_id, doc_id, _bm25_raw) for every doc matching ≥1 query term."""
-    weight_rows = []
-    for qi, q in enumerate(queries):
-        for term, wgt in query_term_weights(spark, index, q).items():
-            weight_rows.append((qi, term, float(wgt)))
-    if not weight_rows:
+    """(query_id, doc_id, _bm25_raw) for every doc matching ≥1 query term —
+    a single plan: per-(query, term) weights resolved by broadcast join
+    against bucket-pruned term_stats, joined onto the pruned posting
+    blocks (blocks of terms shared across queries duplicate per query,
+    which is cheap: few terms, partition-pruned scan)."""
+    from ..functions.tokenize import tokenize_k2_py
+    terms = sorted({t for q in queries for t in set(tokenize_k2_py(q))})
+    if not terms:
         return spark.createDataFrame(
             [], "query_id int, doc_id long, _bm25_raw double")
-    wdf = spark.createDataFrame(weight_rows,
-                                "query_id int, term string, weight double")
-    all_weights = {t: 1.0 for _, t, _ in weight_rows}
-    blocks = _query_blocks(spark, index, all_weights)
-    # per-(query, term) weights broadcast-joined onto the pruned blocks;
-    # blocks of terms shared across queries duplicate per query, which is
-    # cheap (few terms, and the scan itself is partition-pruned)
+    wdf = weights_df(spark, index, queries)
+    blocks = _query_blocks(spark, index, terms)
     joined = blocks.join(F.broadcast(wdf), "term")
-
-    k1, b = index.cfg.bm25.k1, index.cfg.bm25.b
-    avgdl = index.avgdl
-
-    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..index.codec import decode_block
-        for pdf in it:
-            if not len(pdf):
-                continue
-            qids, docs, scores = [], [], []
-            for qid, wgt, n, db, tb, lb in zip(
-                    pdf["query_id"], pdf["weight"], pdf["n"],
-                    pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"]):
-                d, t, ln = decode_block(bytes(db), bytes(tb), bytes(lb),
-                                        int(n))
-                tf = t.astype(np.float64)
-                denom = tf + k1 * (1 - b + b * ln.astype(np.float64) / avgdl)
-                s = wgt * (tf * (k1 + 1) / denom)
-                qids.append(np.full(len(d), qid, dtype=np.int32))
-                docs.append(d)
-                scores.append(s)
-            yield pd.DataFrame({
-                "query_id": np.concatenate(qids),
-                "doc_id": np.concatenate(docs),
-                "_bm25_raw": np.concatenate(scores),
-            })
-
-    return (joined.mapInPandas(
-        score, schema="query_id int, doc_id long, _bm25_raw double")
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("_bm25_raw").alias("_bm25_raw")))
+    return (_score_weighted_blocks(joined, index, with_query_id=True)
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("score").alias("_bm25_raw")))
 
 
 def hybrid_search_batch(spark: SparkSession, index: InvertedIndex,

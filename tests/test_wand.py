@@ -23,7 +23,8 @@ QUERIES = [
 def test_pruned_equals_exact(spark, small_index, query, k):
     exact = bm25_topk_exact(spark, small_index, query, k=k).collect()
     pruned = bm25_topk_pruned(spark, small_index, query, k=k,
-                              seed_ranges=2).collect()
+                              seed_ranges=2,
+                              min_ranges_to_prune=1).collect()
     assert [r["doc_id"] for r in pruned] == [r["doc_id"] for r in exact]
     np.testing.assert_allclose([r["score"] for r in pruned],
                                [r["score"] for r in exact], rtol=1e-12)
@@ -35,7 +36,8 @@ def test_pruned_small_seed_still_safe(spark, small_index):
     exact = bm25_topk_exact(spark, small_index, "wireless sound quality",
                             k=10).collect()
     pruned = bm25_topk_pruned(spark, small_index, "wireless sound quality",
-                              k=10, seed_ranges=1).collect()
+                              k=10, seed_ranges=1,
+                              min_ranges_to_prune=1).collect()
     assert [r["doc_id"] for r in pruned] == [r["doc_id"] for r in exact]
 
 
