@@ -348,6 +348,63 @@ def q_txt_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", TS.simhash64_udf(F.col("text")).alias("simhash"))
 
 
+# ----------------------------------------------- additional §2 operators
+
+def q_spam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 spam predicate — url-count + promo clauses (the repeat-char
+    backreference clause is Java-regex-only; DuckDB's RE2 has no backrefs,
+    so it is excluded from THIS oracle pair and covered byte-exactly in
+    tests/test_normalize.py)."""
+    d = _load(spark, sf_dir, "documents")
+    url_count = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(r"(?i)https?://\S+|www\.\S+"), 0))
+    promo = F.col("text").rlike(
+        r"(?i)(discount code|use code|sponsored|i received this.*free)")
+    return d.select("doc_id", url_count.alias("n_urls"),
+                    ((url_count >= 2) | promo).alias("spammy"))
+
+
+def q_outer_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — outer join + compose-coalesce (nlp/12:119-141 pattern)."""
+    n = _load(spark, sf_dir, "nation")
+    r = _load(spark, sf_dir, "region")
+    return (n.join(r, n.n_regionkey == r.r_regionkey, "outer")
+            .select(F.coalesce(F.col("n_name"), F.lit("UNKNOWN"))
+                    .alias("nation"),
+                    F.coalesce(F.col("r_name"), F.lit("UNKNOWN"))
+                    .alias("region")))
+
+
+def q_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — per-group argmax with first-max-wins tie-break (numpy argmax
+    keeps the first maximum; app/test.py:211-215)."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"),
+                                              F.asc("event_id"))
+    return (e.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "event_id", "value", "event_type"))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 — TF-IDF top terms per group (cluster naming), over source
+    groups of the documents table."""
+    from review_recommender_spark.ops.clustering import tfidf_top_terms
+    d = (_load(spark, sf_dir, "documents")
+         .select("source", tokenize_k1_col(F.col("text")).alias("toks")))
+    return tfidf_top_terms(d, "source", "toks", top_n=5)
+
+
+def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: M3 KMeans over the embeddings table → cluster sizes
+    (cluster ids are seed-deterministic but not SQL-derivable)."""
+    from review_recommender_spark.ops.clustering import kmeans_clusters
+    emb = _load(spark, sf_dir, "embeddings")
+    out = kmeans_clusters(emb, "embedding", k=8, seed=42)
+    return (out.groupBy("cluster").agg(F.count("*").alias("n"))
+            .orderBy("cluster"))
+
+
 # ------------------------------------------------------ document build
 
 def q_docbuild_products(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,6 +463,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_meta": q_mm_media_meta,
         "mm_image_features": q_mm_image_features,
         "docbuild_products": q_docbuild_products,
+        "spam_flags": q_spam_flags,
+        "outer_join_coalesce": q_outer_join_coalesce,
+        "argmax_per_group": q_argmax_per_group,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "ml_kmeans": q_ml_kmeans,
     }
 
 
@@ -690,4 +752,38 @@ agg AS (SELECT sku, string_agg(__clean, chr(32) || chr(10)
 SELECT k.sku, k.n_reviews, k.avg_stars, k.last_ts,
        coalesce(a.agg_text, '') AS agg_text
 FROM kpis k LEFT JOIN agg a ON k.sku = a.sku""",
+        "spam_flags": r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, 'https?://\S+|www\.\S+', 0, 'i'))
+       AS n_urls,
+       (len(regexp_extract_all(text, 'https?://\S+|www\.\S+', 0, 'i')) >= 2
+        OR regexp_matches(text,
+           '(discount code|use code|sponsored|i received this.*free)', 'i'))
+       AS spammy
+FROM documents""",
+        "outer_join_coalesce": """
+SELECT coalesce(n_name, 'UNKNOWN') AS nation,
+       coalesce(r_name, 'UNKNOWN') AS region
+FROM nation FULL OUTER JOIN region ON n_regionkey = r_regionkey""",
+        "argmax_per_group": """
+SELECT user_id, event_id, value, event_type FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY value DESC, event_id) AS rn
+  FROM events) t
+WHERE rn = 1""",
+        "tfidf_top_terms": f"""
+WITH toks AS (SELECT source AS grp, unnest({K1SQL}) AS term
+              FROM documents),
+tf AS (SELECT grp, term, count(*) AS tf FROM toks GROUP BY grp, term),
+ng AS (SELECT count(DISTINCT grp) AS n FROM toks),
+dfreq AS (SELECT term, count(*) AS df_groups FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.grp, tf.term,
+         round(tf.tf * ln((SELECT n FROM ng)::double / dfreq.df_groups), 6)
+         AS tfidf
+  FROM tf JOIN dfreq USING (term)),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY grp
+                 ORDER BY tfidf DESC, term) AS rank
+           FROM scored)
+SELECT grp, term, tfidf, rank FROM ranked WHERE rank <= 5""",
     }

@@ -58,6 +58,9 @@ from ..functions.tokenize import (STOP_INDEX, TOKEN_RE, tokenize_k1_col,
 from .tableio import ChunkedWriter, TableIO, config_fingerprint
 
 LOCAL_TF = "local_tf"
+# bump when the local_tf checkpoint schema changes — stale checkpoints from
+# an older format must not be resumed (v2 = occurrence rows, no tf column)
+LOCAL_TF_FORMAT_VERSION = 2
 DOC_STATS = "doc_stats"
 CORPUS_STATS = "corpus_stats"
 TERM_STATS = "term_stats"
@@ -224,6 +227,7 @@ def build_index(spark: SparkSession, docs: DataFrame, io: TableIO,
                 input_fingerprint: str | None = None) -> InvertedIndex:
     cfg = cfg or EngineConfig()
     fp = input_fingerprint or config_fingerprint(
+        format_version=LOCAL_TF_FORMAT_VERSION,
         tokenizer="simple_en_v1", cap=cfg.index.token_cap,
         block=cfg.index.block_size, shift=cfg.index.range_shift,
         n_chunks=n_chunks)
@@ -231,6 +235,7 @@ def build_index(spark: SparkSession, docs: DataFrame, io: TableIO,
     # ---- Stage A: chunked, resumable local_tf ----
     writer = ChunkedWriter(io=io, name=LOCAL_TF, n_chunks=n_chunks,
                            input_fingerprint=fp)
+    writer.clean_stale()
     pending = writer.pending_chunks() if resume else list(range(n_chunks))
     for i in pending:
         chunk = docs if n_chunks == 1 else docs.filter(

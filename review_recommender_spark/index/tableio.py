@@ -126,6 +126,24 @@ class ChunkedWriter:
     def pending_chunks(self) -> list[int]:
         return [i for i in range(self.n_chunks) if not self.chunk_done(i)]
 
+    def clean_stale(self) -> None:
+        """Remove chunk dirs that do not belong to this build: a different
+        fingerprint (format/config change) or an index outside the current
+        chunking layout — otherwise a table read would mix stale rows in."""
+        import shutil
+        root = self.io.path(self.name)
+        if not os.path.isdir(root):
+            return
+        for entry in os.listdir(root):
+            if not entry.startswith("chunk="):
+                continue
+            try:
+                i = int(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            if i >= self.n_chunks or not self.chunk_done(i):
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+
     def finalize(self, lineage: dict[str, Any] | None = None,
                  metrics: dict[str, Any] | None = None) -> str:
         chunk_metrics = []

@@ -41,7 +41,9 @@ def test_resume_skips_completed_chunks_and_matches(spark, small_pages,
 
     # simulate a killed build: write only chunks 0 and 2, then "crash"
     io_part = TableIO(str(tmp_path / "partial"))
-    fp = config_fingerprint(tokenizer="simple_en_v1", cap=cfg.index.token_cap,
+    from review_recommender_spark.index.build import LOCAL_TF_FORMAT_VERSION
+    fp = config_fingerprint(format_version=LOCAL_TF_FORMAT_VERSION,
+                            tokenizer="simple_en_v1", cap=cfg.index.token_cap,
                             block=cfg.index.block_size,
                             shift=cfg.index.range_shift, n_chunks=4)
     from review_recommender_spark.index.build import _tf_rows, _tokens_df
@@ -70,7 +72,9 @@ def test_fingerprint_mismatch_forces_rebuild(tmp_path, spark, small_pages):
     # a config change (different cap) must invalidate every chunk
     cfg2 = dataclasses.replace(
         cfg, index=dataclasses.replace(cfg.index, token_cap=4999))
-    fp2 = config_fingerprint(tokenizer="simple_en_v1",
+    from review_recommender_spark.index.build import LOCAL_TF_FORMAT_VERSION
+    fp2 = config_fingerprint(format_version=LOCAL_TF_FORMAT_VERSION,
+                             tokenizer="simple_en_v1",
                              cap=cfg2.index.token_cap,
                              block=cfg2.index.block_size,
                              shift=cfg2.index.range_shift, n_chunks=2)
