@@ -93,7 +93,8 @@ def main() -> None:
             extra["index_vocab"] = idx.vocab_size
 
         if "bm25" in phases and idx is not None:
-            # warmup (JIT + parquet footer caches)
+            # warm index (cache postings/term_stats) + JIT warmup query
+            idx.warm(spark)
             bm25_topk_pruned(spark, idx, GOLDEN_PHRASES[0], k=10).collect()
             lat = []
             for qi, q in enumerate(GOLDEN_PHRASES):

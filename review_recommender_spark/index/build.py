@@ -202,12 +202,29 @@ class InvertedIndex:
     n_docs: int
     avgdl: float
     vocab_size: int
+    _cached: dict = None  # type: ignore[assignment]
 
     def postings(self, spark: SparkSession) -> DataFrame:
+        if self._cached and POSTINGS in self._cached:
+            return self._cached[POSTINGS]
         return self.io.read(spark, POSTINGS)
 
     def term_stats(self, spark: SparkSession) -> DataFrame:
+        if self._cached and TERM_STATS in self._cached:
+            return self._cached[TERM_STATS]
         return self.io.read(spark, TERM_STATS)
+
+    def warm(self, spark: SparkSession) -> "InvertedIndex":
+        """Pin postings + term_stats in executor memory for a query-serving
+        session (the moral equivalent of the reference's st.cache_resource
+        artifact memoization, app_product_search.py:53-119)."""
+        object.__setattr__(self, "_cached", {
+            POSTINGS: self.io.read(spark, POSTINGS).cache(),
+            TERM_STATS: self.io.read(spark, TERM_STATS).cache(),
+        })
+        for df in self._cached.values():
+            df.count()
+        return self
 
     def doc_stats(self, spark: SparkSession) -> DataFrame:
         return self.io.read(spark, DOC_STATS)

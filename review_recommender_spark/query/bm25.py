@@ -183,7 +183,10 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
                                 "term string, weight double")
     blocks = _query_blocks(spark, index, sorted(weights)).withColumn(
         "ub", _block_upper_bound_col(weights, index))
-    n_ranges = blocks.select("range_id").distinct().count()
+    # corpus-level range count — a driver-side constant, no Spark action.
+    # (A query's terms can only touch a subset of these; if the corpus
+    # itself has few ranges, pruning machinery can't win.)
+    n_ranges = max(1, index.n_docs >> index.cfg.index.range_shift)
     if n_ranges < min_ranges_to_prune:
         joined = blocks.drop("ub").join(F.broadcast(wdf), "term")
         return _topk(_score_weighted_blocks(joined, index, False), k)
