@@ -1,0 +1,78 @@
+"""Determinism across partitioning/parallelism: the same corpus must
+produce byte-identical index tables and identical top-k regardless of how
+work is split (the sandbox analogue of local[8] == local[32] results —
+SURVEY.md §5.2 item 4)."""
+
+import dataclasses
+
+import pytest
+from pyspark.sql import functions as F
+
+from review_recommender_spark.config import EngineConfig, bm25_north
+from review_recommender_spark.index.build import build_index
+from review_recommender_spark.index.tableio import TableIO
+from review_recommender_spark.query.bm25 import bm25_topk_exact
+
+
+def _cfg():
+    cfg = EngineConfig(bm25=bm25_north())
+    return dataclasses.replace(
+        cfg, index=dataclasses.replace(cfg.index, range_shift=6,
+                                       term_buckets=8))
+
+
+def _fingerprint_index(spark, idx):
+    posts = sorted(
+        (r["term"], r["range_id"], r["block_id"], bytes(r["doc_bytes"]),
+         bytes(r["tf_bytes"]), bytes(r["dl_bytes"]), r["max_tf"], r["min_dl"])
+        for r in idx.postings(spark).collect())
+    stats = sorted((r["term"], r["df"], round(r["idf"], 15))
+                   for r in idx.term_stats(spark).collect())
+    return posts, stats
+
+
+def test_index_identical_across_partitioning(spark, small_pages, tmp_path):
+    """2 vs 13 input partitions, 5 vs 17 shuffle partitions, 1 vs 3 chunks
+    → byte-identical posting blocks and term stats."""
+    cfg = _cfg()
+    a = build_index(spark, small_pages.repartition(2),
+                    TableIO(str(tmp_path / "a")), cfg, n_chunks=1,
+                    shuffle_partitions=5)
+    b = build_index(spark, small_pages.repartition(13),
+                    TableIO(str(tmp_path / "b")), cfg, n_chunks=3,
+                    shuffle_partitions=17)
+    assert _fingerprint_index(spark, a) == _fingerprint_index(spark, b)
+    assert (a.n_docs, a.avgdl, a.vocab_size) == (b.n_docs, b.avgdl,
+                                                 b.vocab_size)
+
+
+def test_topk_stable_across_runs(spark, small_index):
+    """Repeated execution of the same query must return identical rows
+    (ties broken by doc_id, float sums stable at comparison precision)."""
+    q = "wireless bluetooth headphones"
+    runs = [bm25_topk_exact(spark, small_index, q, k=20).collect()
+            for _ in range(3)]
+    base = [(r["doc_id"], round(r["score"], 10)) for r in runs[0]]
+    for other in runs[1:]:
+        assert [(r["doc_id"], round(r["score"], 10)) for r in other] == base
+
+
+def test_hybrid_stable_across_partitioning(spark, small_pages, small_index):
+    """Dense pool selection uses a partition-invariant total order
+    (float32 desc, doc_id asc) — repartitioning embeddings must not change
+    hybrid results."""
+    from review_recommender_spark.corpus.pages import page_meta_cols
+    from review_recommender_spark.query.encoder import embed_documents
+    from review_recommender_spark.query.search import hybrid_search
+
+    emb = embed_documents(small_pages.select("doc_id", "text")) \
+        .select("doc_id", "embedding")
+    meta = (small_pages.select("doc_id", F.col("text").alias("agg_text"))
+            .join(page_meta_cols(small_pages.select("doc_id")), "doc_id"))
+    q = "organic green tea"
+    r1 = hybrid_search(spark, small_index, emb.repartition(2), meta, q,
+                       k=10).collect()
+    r2 = hybrid_search(spark, small_index, emb.repartition(11), meta, q,
+                       k=10).collect()
+    assert [(r["doc_id"], round(float(r["_final"]), 6)) for r in r1] == \
+        [(r["doc_id"], round(float(r["_final"]), 6)) for r in r2]
