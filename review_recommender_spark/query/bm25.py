@@ -168,9 +168,52 @@ def _block_upper_bound_col(weights: dict[str, float], index: InvertedIndex):
     return wcol * (k1 + 1) * mt / denom
 
 
+def _fine_prune_keep(meta: DataFrame, theta: float) -> DataFrame:
+    """Block-level BMW refinement inside surviving ranges.
+
+    Input: block metadata rows (range_id, term, block_id, first_doc_id,
+    last_doc_id, ub) of the query's terms in surviving ranges. Per range,
+    the per-term upper bound as a function of doc id is piecewise constant
+    over that term's block intervals; summing the piecewise functions over
+    the merged breakpoints gives every doc's total upper bound. A block is
+    decoded only if SOME interval it overlaps has total bound > θ.
+
+    Rank-safe: any doc whose total bound exceeds θ lies in an interval with
+    total > θ, so every block containing it survives and its score is
+    exact; docs whose bound never exceeds θ cannot displace the k seed
+    results that established θ (their partial scores ≤ true ≤ θ).
+    """
+
+    def prune(grp):
+        import numpy as np
+        firsts = grp["first_doc_id"].to_numpy()
+        lasts = grp["last_doc_id"].to_numpy()
+        ubs = grp["ub"].to_numpy()
+        # merged breakpoints: interval j = [pts[j], pts[j+1])
+        pts = np.unique(np.concatenate([firsts, lasts + 1]))
+        starts = pts[:-1]
+        # block i covers interval indices [lo_i, hi_i)
+        lo = np.searchsorted(starts, firsts, side="left")
+        hi = np.searchsorted(starts, lasts, side="right")
+        # total bound per interval via a difference array
+        diff = np.zeros(len(starts) + 1)
+        np.add.at(diff, lo, ubs)
+        np.add.at(diff, hi, -ubs)
+        total = np.cumsum(diff[:-1])
+        hot = total > theta
+        hot_cum = np.concatenate([[0], np.cumsum(hot)])
+        keep = (hot_cum[hi] - hot_cum[lo]) > 0
+        return grp.iloc[np.flatnonzero(keep)][["range_id", "term",
+                                               "block_id"]]
+
+    return meta.groupBy("range_id").applyInPandas(
+        prune, schema="range_id long, term string, block_id int")
+
+
 def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
                      k: int = 10, seed_ranges: int = 8,
-                     min_ranges_to_prune: int = 1024) -> DataFrame:
+                     min_ranges_to_prune: int = 1024,
+                     fine_prune: bool = True) -> DataFrame:
     """Rank-identical to ``bm25_topk_exact``; skips doc-ranges whose summed
     per-term upper bounds cannot reach the k-th best score. Falls through
     to the exact single-action path when the query touches few ranges
@@ -215,8 +258,16 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
                                    & ~F.col("range_id").isin(seed)))
         rest_blocks = (blocks
                        .join(F.broadcast(survivor_ranges.select("range_id")),
-                             "range_id")
-                       .join(F.broadcast(wdf), "term"))
+                             "range_id"))
+        if fine_prune and theta > float("-inf"):
+            # block-level BMW: within surviving ranges, decode only blocks
+            # overlapping a doc interval whose summed per-term bound beats θ
+            meta = rest_blocks.select("range_id", "term", "block_id",
+                                      "first_doc_id", "last_doc_id", "ub")
+            keep = _fine_prune_keep(meta, theta)
+            rest_blocks = rest_blocks.join(
+                keep, ["range_id", "term", "block_id"], "left_semi")
+        rest_blocks = rest_blocks.join(F.broadcast(wdf), "term")
         rest = _topk(_score_weighted_blocks(rest_blocks, index, False), k)
         seed_df = spark.createDataFrame(
             [(r["doc_id"], r["score"]) for r in seed_scored], RESULT_SCHEMA)

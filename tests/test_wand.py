@@ -58,3 +58,43 @@ def test_block_bounds_dominate_scores(spark, small_index):
         mt = float(r["max_tf"])
         bound = mt * (k1 + 1) / (mt + k1 * (1 - b + b * r["min_dl"] / avgdl))
         assert (contrib <= bound + 1e-12).all()
+
+
+def test_fine_prune_keeps_exactly_hot_blocks(spark):
+    """_fine_prune_keep must keep precisely the blocks overlapping a doc
+    interval whose summed per-term bound exceeds θ — verified against a
+    brute-force per-doc computation on synthetic metadata."""
+    import numpy as np
+    import pandas as pd
+    from review_recommender_spark.query.bm25 import _fine_prune_keep
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for range_id in range(3):
+        for t, term in enumerate(["alpha", "beta", "gamma"]):
+            # non-overlapping ordered blocks per term
+            cuts = np.sort(rng.choice(np.arange(1000), 8, replace=False))
+            for b in range(0, len(cuts) - 1, 2):
+                rows.append((range_id, term, b // 2,
+                             int(cuts[b]), int(cuts[b + 1]),
+                             float(rng.uniform(0.1, 2.0))))
+    meta = pd.DataFrame(rows, columns=["range_id", "term", "block_id",
+                                       "first_doc_id", "last_doc_id", "ub"])
+    theta = 2.2
+    got = {(r["range_id"], r["term"], r["block_id"]) for r in
+           _fine_prune_keep(
+               spark.createDataFrame(meta), theta).collect()}
+
+    # brute force: per doc position, sum covering blocks' ubs
+    expected = set()
+    for range_id, grp in meta.groupby("range_id"):
+        bound = np.zeros(1001)
+        for r in grp.itertuples():
+            bound[r.first_doc_id:r.last_doc_id + 1] += r.ub
+        hot_docs = np.flatnonzero(bound > theta)
+        for r in grp.itertuples():
+            if ((hot_docs >= r.first_doc_id)
+                    & (hot_docs <= r.last_doc_id)).any():
+                expected.add((range_id, r.term, r.block_id))
+    assert got == expected
+    assert 0 < len(got) < len(meta)  # pruning actually drops blocks
