@@ -405,6 +405,35 @@ def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cluster"))
 
 
+def q_joinability_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — data-quality joinability probe: sampled left join, fraction of
+    matched keys must clear a threshold (test.py:209-217 pattern)."""
+    # deterministic sample: first line of each order (a bare LIMIT draws
+    # different rows in Spark vs DuckDB)
+    li = _load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    o = _load(spark, sf_dir, "orders")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey, "left")
+    return joined.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.col("o_orderkey").isNotNull().cast("double")), 6)
+        .alias("match_rate"))
+
+
+def q_recent_vs_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — recent-vs-prior trend as two conditional aggregates (no self
+    join; the Spark-first rewrite of _archive/07_aspect_metrics.py:44-46).
+    Window = last 3 days relative to max(ts)."""
+    e = _load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cutoff = e.agg(F.max(us)).collect()[0][0] - 3 * 86400 * 1_000_000
+    recent = F.when(us >= cutoff, 1).otherwise(0)
+    return (e.groupBy("event_type")
+            .agg(F.sum(recent).alias("n_recent"),
+                 F.sum(1 - recent).alias("n_prior"),
+                 F.round(F.avg(F.when(us >= cutoff, F.col("value"))), 4)
+                 .alias("avg_value_recent")))
+
+
 # ------------------------------------------------------ document build
 
 def q_docbuild_products(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,6 +497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmax_per_group": q_argmax_per_group,
         "tfidf_top_terms": q_tfidf_top_terms,
         "ml_kmeans": q_ml_kmeans,
+        "joinability_probe": q_joinability_probe,
+        "recent_vs_prior": q_recent_vs_prior,
     }
 
 
@@ -786,4 +817,19 @@ ranked AS (SELECT *, row_number() OVER (PARTITION BY grp
                  ORDER BY tfidf DESC, term) AS rank
            FROM scored)
 SELECT grp, term, tfidf, rank FROM ranked WHERE rank <= 5""",
+        "joinability_probe": """
+SELECT count(*) AS n,
+       round(avg((o_orderkey IS NOT NULL)::int), 6) AS match_rate
+FROM (SELECT * FROM lineitem WHERE l_linenumber = 1) li
+LEFT JOIN orders ON li.l_orderkey = o_orderkey""",
+        "recent_vs_prior": """
+WITH c AS (SELECT max(epoch_us(ts)) - 3 * 86400000000 AS cutoff FROM events)
+SELECT event_type,
+       sum((epoch_us(ts) >= (SELECT cutoff FROM c))::int)::bigint
+       AS n_recent,
+       sum((epoch_us(ts) < (SELECT cutoff FROM c))::int)::bigint
+       AS n_prior,
+       round(avg(CASE WHEN epoch_us(ts) >= (SELECT cutoff FROM c)
+                      THEN value END), 4) AS avg_value_recent
+FROM events GROUP BY event_type""",
     }

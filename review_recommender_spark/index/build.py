@@ -308,20 +308,45 @@ def build_index(spark: SparkSession, docs: DataFrame, io: TableIO,
         "idf_raw",
         F.log(F.lit(float(n_docs)) - F.col("df") + 0.5)
         - F.log(F.col("df") + 0.5))
-    agg = raw_idf.agg(F.avg("idf_raw").alias("avg_idf"),
-                      F.count("*").alias("vocab")).collect()[0]
-    avg_idf = agg["avg_idf"] or 0.0
-    vocab_size = agg["vocab"]
-    eps_val = cfg.bm25.epsilon * avg_idf
-    term_stats = raw_idf.withColumn(
-        "idf", F.when(F.col("idf_raw") < 0, F.lit(eps_val))
-        .otherwise(F.col("idf_raw"))).withColumn(
-        "term_bucket", term_bucket_col(F.col("term"), cfg.index.term_buckets))
+    # BM25Okapi's ε-fixup needs the vocabulary-wide mean raw idf; the
+    # aggregate rides the SAME action as the write (broadcast scalar
+    # subquery), avoiding a separate collect job.
+    vocab_scalars = F.broadcast(raw_idf.agg(
+        F.avg("idf_raw").alias("__avg_idf"),
+        F.count("*").alias("__vocab")))
+    term_stats = (raw_idf.crossJoin(vocab_scalars)
+                  .withColumn(
+                      "idf",
+                      F.when(F.col("idf_raw") < 0,
+                             F.lit(cfg.bm25.epsilon) * F.col("__avg_idf"))
+                      .otherwise(F.col("idf_raw")))
+                  .withColumn("term_bucket",
+                              term_bucket_col(F.col("term"),
+                                              cfg.index.term_buckets))
+                  .drop("__avg_idf", "__vocab"))
     term_stats = term_stats.repartition(cfg.index.term_buckets, "term_bucket")
-    io.write(term_stats, TERM_STATS, partition_by=["term_bucket"],
-             lineage={"parent": io.current_snapshot(POSTINGS)["snapshot_id"],
-                      "epsilon": cfg.bm25.epsilon},
-             metrics={"vocab_size": vocab_size, "avg_idf": avg_idf})
+    (term_stats.write.mode("overwrite").partitionBy("term_bucket")
+     .parquet(io.path(TERM_STATS)))
+    # vocab scalars for corpus_stats: parquet footer row counts are free at
+    # any scale; the mean raw idf is read driver-side while the vocabulary
+    # is driver-sized, else via one Spark aggregate
+    import numpy as np
+    import pyarrow.dataset as pa_ds
+    ts_ds = pa_ds.dataset(io.path(TERM_STATS), format="parquet",
+                          partitioning="hive")
+    vocab_size = sum(f.metadata.num_rows
+                     for f in ts_ds.get_fragments())
+    if vocab_size <= 50_000_000:
+        idf_raw_col = ts_ds.to_table(columns=["idf_raw"])["idf_raw"]
+        avg_idf = float(np.mean(idf_raw_col.to_numpy())) if vocab_size else 0.0
+    else:
+        avg_idf = io.read(spark, TERM_STATS).agg(
+            F.avg("idf_raw")).collect()[0][0] or 0.0
+    io.commit_snapshot(
+        TERM_STATS,
+        lineage={"parent": io.current_snapshot(POSTINGS)["snapshot_id"],
+                 "epsilon": cfg.bm25.epsilon},
+        metrics={"vocab_size": int(vocab_size), "avg_idf": avg_idf})
 
     # one row — write directly with pyarrow on the driver (a Spark job for
     # a single row costs 1-2s of pure scheduling overhead)

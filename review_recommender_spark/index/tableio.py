@@ -114,8 +114,12 @@ class ChunkedWriter:
         return m.get("input_fingerprint") == self.input_fingerprint
 
     def write_chunk(self, df: DataFrame, i: int,
-                    metrics: dict[str, Any] | None = None) -> None:
-        df.write.mode("overwrite").parquet(self.chunk_dir(i))
+                    metrics: dict[str, Any] | None = None,
+                    partition_by: list[str] | None = None) -> None:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.chunk_dir(i))
         with open(self.chunk_manifest_path(i), "w") as f:
             json.dump({
                 "chunk": i,

@@ -63,8 +63,10 @@ def run_bench(cores: int, n_docs: int, phases: str) -> dict:
 
 
 def main() -> None:
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "400000"))
-    pairs = [(1, 4, n_docs), (2, 8, n_docs), (8, 32, n_docs)]
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "800000"))
+    n_docs_wide = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS_WIDE",
+                                     "400000"))
+    pairs = [(1, 4, n_docs), (2, 8, n_docs_wide), (8, 32, n_docs_wide)]
 
     print("calibrating hardware (pinned busy loops)...", flush=True)
     widths = sorted({c for lo, hi, _ in pairs for c in (lo, hi)})

@@ -66,3 +66,20 @@ def test_recall_divides_by_relevant_size():
 def test_precision():
     assert precision_at_k(["a", "x", "b", "y"], {"a", "b"}, 4) == 0.5
     assert precision_at_k(["a"], {"a"}, 5) == pytest.approx(0.2)
+
+
+def test_devset_jsonl_roundtrip(spark, tmp_path):
+    """JSONL dev-set format (app_product_search.py:436) round-trips."""
+    from review_recommender_spark.evalx.devset import (load_devset_jsonl,
+                                                       write_devset_jsonl)
+    from review_recommender_spark.evalx.golden import GoldenQuery
+
+    qs = [GoldenQuery(0, "wireless headphones", frozenset({1, 22, 333})),
+          GoldenQuery(1, "green tea", frozenset({4}))]
+    path = str(tmp_path / "dev.jsonl")
+    write_devset_jsonl(qs, path)
+    back = load_devset_jsonl(spark, path)
+    assert {q.query for q in back} == {q.query for q in qs}
+    by_q = {q.query: q.relevant for q in back}
+    assert by_q["wireless headphones"] == frozenset({1, 22, 333})
+    assert by_q["green tea"] == frozenset({4})
