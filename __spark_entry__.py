@@ -405,6 +405,30 @@ def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cluster"))
 
 
+def q_hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the flagship hybrid pipeline (dense hash-encoder pool +
+    corpus-global BM25 + applyInPandas second-pass fusion) over the
+    documents table. Not SQL-expressible as one oracle (pool-relative
+    normalization + fusion); rank/score parity vs the numpy oracle is
+    enforced in tests/test_secondpass.py."""
+    from review_recommender_spark.query.encoder import embed_documents
+    from review_recommender_spark.query.search import hybrid_search_batch
+
+    idx = _doc_index(spark, sf_dir)
+    docs = _load(spark, sf_dir, "documents")
+    emb = (embed_documents(docs.select("doc_id", "text"))
+           .select("doc_id", "embedding"))
+    meta = docs.select(
+        "doc_id", F.col("text").alias("agg_text"),
+        (F.col("doc_id") % 97).alias("n_reviews"),
+        (1.0 + (F.col("doc_id") % 40) / 10.0).alias("avg_stars"))
+    queries = ["spark shuffle join performance scan",
+               "fast key order sort merge"]
+    return (hybrid_search_batch(spark, idx, emb, meta, queries, k=10)
+            .select("query_id", "doc_id", "rank",
+                    F.round("_final", 4).alias("final_score")))
+
+
 def q_joinability_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 — data-quality joinability probe: sampled left join, fraction of
     matched keys must clear a threshold (test.py:209-217 pattern)."""
@@ -499,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_kmeans": q_ml_kmeans,
         "joinability_probe": q_joinability_probe,
         "recent_vs_prior": q_recent_vs_prior,
+        "hybrid_search_topk": q_hybrid_search_topk,
     }
 
 

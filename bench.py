@@ -78,14 +78,14 @@ def main() -> None:
             # synthesis is not index work; the real pipeline reads a table)
             corpus_path = os.path.join(tmp, "corpus")
             t0 = time.perf_counter()
-            pages_df(spark, n_docs, partitions=max(cpus * 2, 8)) \
+            pages_df(spark, n_docs, partitions=max(32, cpus * 2)) \
                 .write.mode("overwrite").parquet(corpus_path)
             timings["corpus_gen"] = round(time.perf_counter() - t0, 3)
             docs = spark.read.parquet(corpus_path)
             t0 = time.perf_counter()
             idx = build_index(spark, docs, TableIO(os.path.join(tmp, "idx")),
                               cfg, n_chunks=1,
-                              shuffle_partitions=max(cpus * 2, 8))
+                              shuffle_partitions=max(32, cpus * 2))
             dt = time.perf_counter() - t0
             timings["index_build"] = round(dt, 3)
             extra["index_docs_per_sec"] = round(n_docs / dt, 1)
