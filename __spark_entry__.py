@@ -227,11 +227,13 @@ def q_stable_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_recency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7 — events within 24h of the max timestamp."""
+    """P7 — events within 24h of the max timestamp. The cutoff rides the
+    same action as a broadcast scalar subquery (no driver collect job)."""
     e = _load(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    cutoff_us = e.agg(F.max(us)).collect()[0][0]
-    return (e.filter(us >= cutoff_us - 86400 * 1_000_000)
+    cut = e.agg((F.max(us) - 86400 * 1_000_000).alias("__cut"))
+    return (e.join(F.broadcast(cut))
+            .filter(us >= F.col("__cut"))
             .groupBy("event_type").agg(F.count("*").alias("n")))
 
 
@@ -336,10 +338,15 @@ def q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: binary → fixed-dim feature plumbing (deterministic fake
-    kernel; real decode is stubbed — see ops/multimodal.py)."""
+    kernel; real decode is stubbed — see ops/multimodal.py). Emitted as
+    (doc_id, dim, value) rows — scalar columns the driver can sort/hash
+    (an array<float> column crashes its canonicalization)."""
     d = (_load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
          .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload")))
-    return MM.image_feature_frame(d, "doc_id", "payload", dim=16)
+    feats = MM.image_feature_frame(d, "doc_id", "payload", dim=16)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim", "value")
+    ).select("doc_id", "dim", F.round("value", 6).alias("value"))
 
 
 def q_txt_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,13 +456,14 @@ def q_recent_vs_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     Window = last 3 days relative to max(ts)."""
     e = _load(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    cutoff = e.agg(F.max(us)).collect()[0][0] - 3 * 86400 * 1_000_000
-    recent = F.when(us >= cutoff, 1).otherwise(0)
-    return (e.groupBy("event_type")
+    cut = e.agg((F.max(us) - 3 * 86400 * 1_000_000).alias("__cut"))
+    recent = F.when(us >= F.col("__cut"), 1).otherwise(0)
+    return (e.join(F.broadcast(cut))  # scalar cutoff, same action
+            .groupBy("event_type")
             .agg(F.sum(recent).alias("n_recent"),
                  F.sum(1 - recent).alias("n_prior"),
-                 F.round(F.avg(F.when(us >= cutoff, F.col("value"))), 4)
-                 .alias("avg_value_recent")))
+                 F.round(F.avg(F.when(us >= F.col("__cut"), F.col("value"))),
+                         4).alias("avg_value_recent")))
 
 
 # ------------------------------------------------------ document build
@@ -564,7 +572,7 @@ scores AS (
          JOIN doclen ON tfc.doc_id = doclen.doc_id
   GROUP BY tfc.doc_id)
 SELECT doc_id, round(s, 4) AS score FROM scores
-ORDER BY round(s, 4) DESC, doc_id LIMIT {k}"""
+ORDER BY s DESC, doc_id LIMIT {k}"""
 
 
 _LANG_HITS = {

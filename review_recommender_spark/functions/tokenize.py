@@ -68,9 +68,18 @@ def tokenize_k2_py(query: str) -> list[str]:
     return [t for t in tokens if t not in STOP_QUERY]
 
 
-@F.pandas_udf(T.ArrayType(T.StringType()))
-def tokenize_k1_udf(s: pd.Series) -> pd.Series:
-    return s.map(tokenize_k1_py)
+def make_tokenize_k1_udf(cap: int = TOKEN_CAP):
+    """Arrow K1 tokenizer closing over the configured cap — keeps the
+    arrow and JVM paths in agreement for non-default ``token_cap``."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: tokenize_k1_py(t, cap))
+
+    return _udf
+
+
+tokenize_k1_udf = make_tokenize_k1_udf()
 
 
 def tokenize_k1_col(col: Column, cap: int = TOKEN_CAP) -> Column:

@@ -53,8 +53,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import EngineConfig
-from ..functions.tokenize import (STOP_INDEX, TOKEN_RE, tokenize_k1_col,
-                                  tokenize_k1_udf)
+from ..functions.tokenize import (STOP_INDEX, TOKEN_RE, make_tokenize_k1_udf,
+                                  tokenize_k1_col)
 from .tableio import ChunkedWriter, TableIO, config_fingerprint
 
 LOCAL_TF = "local_tf"
@@ -100,10 +100,16 @@ def _tf_rows(tokens_df: DataFrame, cap: int) -> DataFrame:
 def _tokens_df(docs: DataFrame, cfg: EngineConfig, doc_id_col: str,
                text_col: str) -> DataFrame:
     cap = cfg.index.token_cap
+    # NULL text must tokenize to [] (a zero-token doc), not drop the doc:
+    # BM25Okapi counts such docs in n_docs/avgdl (reference fillna('') at
+    # nlp/10_product_prep.py:37). Without the coalesce, the JVM tokenizer
+    # yields a NULL array and the explode emits no sentinel row, silently
+    # excluding the doc and shifting every idf.
     base = docs.select(F.col(doc_id_col).alias("doc_id"),
-                       F.col(text_col).alias("text"))
+                       F.coalesce(F.col(text_col), F.lit("")).alias("text"))
     if cfg.index.tokenizer_impl == "arrow":
-        return base.select("doc_id", tokenize_k1_udf("text").alias("toks"))
+        return base.select("doc_id",
+                           make_tokenize_k1_udf(cap)("text").alias("toks"))
     return base.select("doc_id", tokenize_k1_col(F.col("text"), cap).alias("toks"))
 
 

@@ -200,7 +200,10 @@ def _fine_prune_keep(meta: DataFrame, theta: float) -> DataFrame:
         np.add.at(diff, lo, ubs)
         np.add.at(diff, hi, -ubs)
         total = np.cumsum(diff[:-1])
-        hot = total > theta
+        # >= not >: a doc whose exact score TIES the k-th seed score can
+        # still win the (score desc, doc_id asc) tie-break, so any interval
+        # whose bound equals θ must survive for strict rank-identity
+        hot = total >= theta
         hot_cum = np.concatenate([[0], np.cumsum(hot)])
         keep = (hot_cum[hi] - hot_cum[lo]) > 0
         return grp.iloc[np.flatnonzero(keep)][["range_id", "term",
@@ -253,8 +256,10 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
         theta = (seed_scored[k - 1]["score"]
                  if len(seed_scored) >= k else float("-inf"))
 
+        # >= not >: a range whose bound EQUALS θ can hold a doc that ties
+        # the k-th seed score and wins on the doc_id asc tie-break
         survivor_ranges = (range_bounds
-                           .filter((F.col("range_ub") > theta)
+                           .filter((F.col("range_ub") >= theta)
                                    & ~F.col("range_id").isin(seed)))
         rest_blocks = (blocks
                        .join(F.broadcast(survivor_ranges.select("range_id")),

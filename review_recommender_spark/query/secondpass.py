@@ -176,6 +176,9 @@ def score_pool(pool: pd.DataFrame, query: str, cfg: SecondPassConfig,
                                     cfg.trust_saturation)
     cand["_final"] = final
 
-    # stable sort == pandas sort_values: ties keep pool (dense) order
+    # deterministic hardening: a STABLE sort so exact _final ties keep pool
+    # (dense) order. The reference's sort_values (app/test.py:310) uses the
+    # default unstable quicksort, so its tied-row order is incidental; we
+    # pin one reproducible order rather than replicate that nondeterminism.
     order = np.argsort(-cand["_final"].to_numpy(), kind="stable")[:k]
     return cand.iloc[order].reset_index(drop=True)

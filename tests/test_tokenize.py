@@ -67,6 +67,58 @@ def test_k1_jvm_vs_python_on_cases(spark):
         assert list(a) == exp, repr(src)
 
 
+def test_k1_null_text_counts_as_zero_token_doc(spark):
+    """NULL text must yield a zero-token doc, not drop the doc: BM25Okapi
+    counts it in n_docs/avgdl (reference fillna('') nlp/10:37). Regression
+    for the r01 divergence where the JVM path emitted no sentinel row."""
+    import dataclasses
+
+    from review_recommender_spark.config import EngineConfig
+    from review_recommender_spark.index.build import _tf_rows, _tokens_df
+
+    df = spark.createDataFrame([(0, None), (1, "real text here")],
+                               "doc_id long, text string")
+    for impl in ("jvm", "arrow"):
+        cfg = EngineConfig()
+        cfg = dataclasses.replace(
+            cfg, index=dataclasses.replace(cfg.index, tokenizer_impl=impl))
+        rows = _tf_rows(_tokens_df(df, cfg, "doc_id", "text"),
+                        cfg.index.token_cap)
+        sent = (rows.filter(F.col("term").isNull()).toPandas()
+                .sort_values("doc_id"))
+        assert sent["doc_id"].tolist() == [0, 1], impl
+        assert sent["dl"].tolist()[0] == 0, impl
+
+
+def test_null_text_doc_in_built_index(spark, tmp_path):
+    """End-to-end: a corpus with a NULL-text doc builds with n_docs
+    counting it and avgdl matching the oracle's fillna('') semantics."""
+    from review_recommender_spark.config import EngineConfig, bm25_north
+    from review_recommender_spark.index.build import build_index
+    from review_recommender_spark.index.tableio import TableIO
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, "wireless headphones bluetooth"),
+         (2, "yellow cat socks soft")],
+        "doc_id long, text string")
+    idx = build_index(spark, docs, TableIO(str(tmp_path / "nullidx")),
+                      EngineConfig(bm25=bm25_north()))
+    assert idx.n_docs == 3
+    assert abs(idx.avgdl - 7 / 3) < 1e-12
+
+
+def test_arrow_cap_configurable(spark):
+    """make_tokenize_k1_udf must honor a non-default token_cap (r01 ADVICE:
+    the arrow path silently hardcoded 5000)."""
+    from review_recommender_spark.functions.tokenize import make_tokenize_k1_udf
+    df = spark.createDataFrame([(0, "alpha beta gamma delta epsilon zeta "
+                                    "eta theta iota kappa")],
+                               "id long, text string")
+    out = df.select(make_tokenize_k1_udf(7)("text").alias("t")) \
+        .collect()[0]["t"]
+    assert len(out) == 7
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.text(alphabet=st.characters(
     whitelist_categories=("Ll", "Lu", "Nd", "Po", "Zs"),
