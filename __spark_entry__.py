@@ -429,11 +429,23 @@ def q_hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").alias("agg_text"),
         (F.col("doc_id") % 97).alias("n_reviews"),
         (1.0 + (F.col("doc_id") % 40) / 10.0).alias("avg_stars"))
+    # synthetic review-level table (2 deterministic variants per doc) so the
+    # R6 best-review signal is exercised end-to-end (app/test.py:181-215)
+    base = docs.select("doc_id", "text")
+    r1 = base.select("doc_id", (F.col("doc_id") * 2).alias("review_id"),
+                     F.substring("text", 1, 120).alias("text"),
+                     ((F.col("doc_id") % 5) + 1).cast("double").alias("stars"))
+    r2 = base.select("doc_id", (F.col("doc_id") * 2 + 1).alias("review_id"),
+                     F.substring("text", 60, 180).alias("text"),
+                     ((F.col("doc_id") % 3) + 2).cast("double").alias("stars"))
+    reviews = embed_documents(r1.unionByName(r2))
     queries = ["spark shuffle join performance scan",
                "fast key order sort merge"]
-    return (hybrid_search_batch(spark, idx, emb, meta, queries, k=10)
+    return (hybrid_search_batch(spark, idx, emb, meta, queries, k=10,
+                                reviews_emb=reviews)
             .select("query_id", "doc_id", "rank",
-                    F.round("_final", 4).alias("final_score")))
+                    F.round("_final", 4).alias("final_score"),
+                    F.round("_bestrev", 4).alias("bestrev")))
 
 
 def q_joinability_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

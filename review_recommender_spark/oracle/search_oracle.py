@@ -19,11 +19,42 @@ from ..query.secondpass import score_pool
 from .bm25_oracle import BM25Oracle
 
 
+def best_review_scores_oracle(reviews: pd.DataFrame, pool_doc_ids,
+                              query: str) -> dict[int, float]:
+    """Numpy mirror of the reference's ``best_review_snippets``
+    (app/test.py:181-215): semi-select reviews whose key is in the pool,
+    l2-normalize, cosine vs the query vector, per-key argmax with
+    first-max-wins in review (file) order — here ``review_id`` order.
+
+    reviews columns: doc_id, review_id, text, stars, embedding (list/array).
+    Returns {doc_id: best_sim(float32)} — missing keys contribute 0 later
+    (app/test.py:283-287)."""
+    keys = set(int(d) for d in pool_doc_ids)
+    sel = reviews[reviews["doc_id"].isin(keys)]
+    if sel.empty:
+        return {}
+    sel = sel.sort_values("review_id", kind="mergesort").reset_index(drop=True)
+    emb = np.stack(sel["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    emb = emb / np.maximum(norms, 1e-12)
+    qvec = encode_text(query).astype(np.float64)
+    sims = (emb @ qvec).astype(np.float32)
+    best: dict[int, float] = {}
+    for doc, idxs in sel.groupby("doc_id").indices.items():
+        j = int(sims[idxs].argmax())          # first max wins
+        best[int(doc)] = float(sims[idxs][j])
+    return best
+
+
 def hybrid_search_oracle(texts: list[str], meta: pd.DataFrame, query: str,
                          sp: SecondPassConfig, bm25_params: BM25Params,
                          k: int = 10, rerank_fn=cross_encoder_score,
+                         reviews: pd.DataFrame | None = None,
                          ) -> pd.DataFrame:
-    """meta: columns doc_id, n_reviews, avg_stars (row i ↔ texts[i])."""
+    """meta: columns doc_id, n_reviews, avg_stars (row i ↔ texts[i]).
+    reviews (optional): doc_id, review_id, text, stars, embedding — enables
+    the R6 best-review signal exactly as the reference CLI does by default
+    (weight 0.05, app/test.py:353-357)."""
     emb = encode_batch(texts).astype(np.float64)
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
     emb = emb / np.maximum(norms, 1e-12)
@@ -45,4 +76,9 @@ def hybrid_search_oracle(texts: list[str], meta: pd.DataFrame, query: str,
         "_dense": sims[order].astype(np.float64),
         "_bm25_raw": bm25_scores[order],
     })
+    if reviews is not None:
+        best = best_review_scores_oracle(reviews, pool["doc_id"], query)
+        pool["_bestrev_raw"] = np.array(
+            [best.get(int(d), np.nan) for d in pool["doc_id"]],
+            dtype=np.float64)
     return score_pool(pool, query, sp, rerank_fn=rerank_fn, k=k)

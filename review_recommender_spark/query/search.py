@@ -81,6 +81,77 @@ def dense_topk_batch(spark: SparkSession, embeddings: DataFrame,
             .filter(F.col("__r") <= pool).drop("__r"))
 
 
+def bestrev_scores_batch(spark: SparkSession, reviews_emb: DataFrame,
+                         pool_pairs: DataFrame, queries: list[str],
+                         id_col: str = "doc_id",
+                         review_id_col: str = "review_id",
+                         text_col: str = "text", stars_col: str = "stars",
+                         vec_col: str = "embedding") -> DataFrame:
+    """R6 best-review snippet scores — the reference's
+    ``best_review_snippets`` (app/test.py:181-215) distributed:
+
+      1. semi-join the review-embeddings table to the candidate-pool keys
+         (broadcast: the pool is Q×pool rows, driver-sized by design),
+      2. cosine of each surviving review against its query's vector,
+      3. per (query, key) argmax with the reference's first-max-wins
+         tie-break (numpy argmax keeps the first max in file order —
+         here: smallest ``review_id``), keeping the winning review's
+         text[:400] + stars as the snippet payload (app/test.py:212-214).
+
+    Sims are computed in float64 and cast to float32 — the same
+    determinism hardening as the dense stage (the reference's float32
+    matmul result depends on BLAS batch shape; float64 accumulation makes
+    the result partition-independent, then the stored value matches the
+    reference's float32 width).
+
+    Returns (query_id, doc_id, _bestrev_raw float, best_stars, best_snippet).
+    """
+    qmat = np.stack([encode_text(q) for q in queries]).astype(np.float64)
+    pairs = pool_pairs.select("query_id", id_col).distinct()
+    joined = reviews_emb.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(review_id_col).alias("review_id"),
+        F.col(text_col).alias("__rtext"),
+        F.col(stars_col).cast("double").alias("__rstars"),
+        F.col(vec_col).alias("__rvec"),
+    ).join(F.broadcast(pairs.withColumnRenamed(id_col, "doc_id")), "doc_id")
+
+    def sim(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf["__rvec"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            emb = emb / np.maximum(norms, 1e-12)   # l2_normalize, eps=1e-12
+            qids = pdf["query_id"].to_numpy()
+            sims = np.einsum("nd,nd->n", emb, qmat[qids]).astype(np.float32)
+            yield pd.DataFrame({
+                "query_id": qids,
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "review_id": pdf["review_id"].to_numpy(),
+                "sim": sims,
+                "stars": pdf["__rstars"].to_numpy(),
+                "text": pdf["__rtext"],
+            })
+
+    scored = joined.mapInPandas(
+        sim, schema=("query_id int, doc_id long, review_id long, sim float, "
+                     "stars double, text string"))
+    # struct-max: max sim first, then smallest review_id (first-max-wins),
+    # payload fields ride along (review_id is unique, so they never compare)
+    best = (scored.groupBy("query_id", "doc_id")
+            .agg(F.max(F.struct(
+                F.col("sim"),
+                (-F.col("review_id")).alias("nrid"),
+                F.col("stars"),
+                F.substring("text", 1, 400).alias("snippet"))).alias("b")))
+    return best.select(
+        "query_id", "doc_id",
+        F.col("b.sim").alias("_bestrev_raw"),
+        F.col("b.stars").alias("best_stars"),
+        F.col("b.snippet").alias("best_snippet"))
+
+
 def bm25_scores_batch(spark: SparkSession, index: InvertedIndex,
                       queries: list[str]) -> DataFrame:
     """(query_id, doc_id, _bm25_raw) for every doc matching ≥1 query term —
@@ -106,20 +177,38 @@ def hybrid_search_batch(spark: SparkSession, index: InvertedIndex,
                         queries: list[str], cfg: EngineConfig | None = None,
                         k: int = 10,
                         rerank_fn: Callable | None = cross_encoder_score,
+                        reviews_emb: DataFrame | None = None,
                         ) -> DataFrame:
     """Full hybrid pipeline for a batch of queries.
 
-    doc_meta columns: doc_id, agg_text, n_reviews, avg_stars."""
+    doc_meta columns: doc_id, agg_text, n_reviews, avg_stars.
+    reviews_emb (optional, the reviews_with_embeddings analogue —
+    nlp/11:152-163): doc_id, review_id, text, stars, embedding; when given,
+    the R6 best-review signal is computed per pool key (app/test.py:273-289)
+    instead of being identically 0 (reference --no-snippets mode)."""
     cfg = cfg or index.cfg
     sp = cfg.second_pass
     pool = max(k, sp.rerank_k, sp.pool_floor)
 
     dense = dense_topk_batch(spark, embeddings, queries, pool)
+    if reviews_emb is not None:
+        # the pool feeds two consumers (cand + the bestrev semi-join);
+        # cache it so the embeddings scan underneath runs once. The cached
+        # set is Q×pool rows — pool-sized by design, like the reference's
+        # driver-held cand frame.
+        dense = dense.cache()
     bm25 = bm25_scores_batch(spark, index, queries)
     cand = (dense.join(bm25, ["query_id", "doc_id"], "left")
             .fillna({"_bm25_raw": 0.0})
             .join(doc_meta.select("doc_id", "agg_text", "n_reviews",
                                   "avg_stars"), "doc_id"))
+    if reviews_emb is not None:
+        best = bestrev_scores_batch(spark, reviews_emb,
+                                    dense.select("query_id", "doc_id"),
+                                    queries)
+        cand = cand.join(
+            best.select("query_id", "doc_id", "_bestrev_raw"),
+            ["query_id", "doc_id"], "left")
 
     queries_b = list(queries)
     cfg_sp = sp
@@ -154,6 +243,8 @@ def hybrid_search(spark: SparkSession, index: InvertedIndex,
                   embeddings: DataFrame, doc_meta: DataFrame, query: str,
                   cfg: EngineConfig | None = None, k: int = 10,
                   rerank_fn: Callable | None = cross_encoder_score,
+                  reviews_emb: DataFrame | None = None,
                   ) -> DataFrame:
     return hybrid_search_batch(spark, index, embeddings, doc_meta, [query],
-                               cfg, k, rerank_fn).drop("query_id")
+                               cfg, k, rerank_fn,
+                               reviews_emb=reviews_emb).drop("query_id")

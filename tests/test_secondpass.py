@@ -118,6 +118,85 @@ def hybrid_inputs(spark, small_pages, small_pages_pdf, small_index):
     return emb, meta
 
 
+@pytest.fixture(scope="module")
+def reviews_fixture(small_pages_pdf):
+    """Review-level table with embeddings (the reviews_with_embeddings
+    analogue, nlp/11:152-163): 2 deterministic review variants per page,
+    embedded with the same encoder as the dense path so engine and oracle
+    see byte-identical vectors."""
+    from review_recommender_spark.query.encoder import encode_text
+    rows = []
+    rid = 0
+    for doc_id, text in zip(small_pages_pdf["doc_id"],
+                            small_pages_pdf["text"]):
+        words = str(text).split()
+        for vtext in (" ".join(words[:12]), " ".join(words[6:20])):
+            if not vtext:
+                continue
+            rows.append({"doc_id": int(doc_id), "review_id": rid,
+                         "text": vtext,
+                         "stars": float(int(doc_id) % 5 + 1),
+                         "embedding": encode_text(vtext).tolist()})
+            rid += 1
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("profile_name", ["cli", "app"])
+def test_hybrid_bestrev_parity(spark, small_pages_pdf, small_index,
+                               hybrid_inputs, reviews_fixture, profile_name):
+    """R6 end-to-end: with a reviews table the _bestrev signal is non-zero
+    and the distributed pipeline matches the numpy oracle (which mirrors
+    app/test.py:181-215, 273-289)."""
+    import dataclasses
+    emb, meta = hybrid_inputs
+    profile = cli_profile() if profile_name == "cli" else app_profile()
+    idx = dataclasses.replace(small_index, cfg=dataclasses.replace(
+        small_index.cfg, second_pass=profile))
+    reviews_df = spark.createDataFrame(
+        reviews_fixture,
+        schema=("doc_id long, review_id long, text string, stars double, "
+                "embedding array<float>"))
+    queries = ["wireless bluetooth headphones", "yellow cat socks"]
+    got = (hybrid_search_batch(spark, idx, emb, meta, queries, k=10,
+                               reviews_emb=reviews_df)
+           .toPandas().sort_values(["query_id", "rank"]))
+
+    texts = small_pages_pdf["text"].tolist()
+    m = page_meta_py(small_pages_pdf["doc_id"].to_numpy())
+    any_nonzero = False
+    for qi, q in enumerate(queries):
+        exp = hybrid_search_oracle(texts, m, q, profile, bm25_north(), k=10,
+                                   reviews=reviews_fixture)
+        g = got[got["query_id"] == qi]
+        assert g["doc_id"].tolist() == exp["doc_id"].tolist(), q
+        np.testing.assert_allclose(g["_final"].to_numpy(),
+                                   exp["_final"].to_numpy(), rtol=1e-5,
+                                   err_msg=q)
+        np.testing.assert_allclose(g["_bestrev"].to_numpy(),
+                                   exp["_bestrev"].to_numpy(), rtol=1e-5,
+                                   err_msg=q)
+        any_nonzero |= bool((exp["_bestrev"].to_numpy() > 0).any())
+    assert any_nonzero, "bestrev signal must be non-zero somewhere"
+
+
+def test_bestrev_first_max_wins(spark):
+    """Tied best-review sims resolve to the smallest review_id — the
+    reference's numpy argmax keeps the first max (app/test.py:212)."""
+    from review_recommender_spark.query.encoder import encode_text
+    from review_recommender_spark.query.search import bestrev_scores_batch
+    vec = encode_text("dup text").tolist()
+    reviews = spark.createDataFrame(
+        [(7, 11, "dup text", 3.0, vec), (7, 5, "dup text", 4.0, vec),
+         (7, 9, "dup text", 5.0, vec)],
+        "doc_id long, review_id long, text string, stars double, "
+        "embedding array<float>")
+    pairs = spark.createDataFrame([(0, 7)], "query_id int, doc_id long")
+    out = bestrev_scores_batch(spark, reviews, pairs, ["anything"]) \
+        .toPandas()
+    assert len(out) == 1
+    assert out["best_stars"].iloc[0] == 4.0  # review_id 5 wins the tie
+
+
 @pytest.mark.parametrize("profile_name", ["cli", "app"])
 def test_hybrid_parity_vs_oracle(spark, small_pages_pdf, small_index,
                                  hybrid_inputs, profile_name):
