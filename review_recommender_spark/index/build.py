@@ -220,17 +220,62 @@ class InvertedIndex:
             return self._cached[TERM_STATS]
         return self.io.read(spark, TERM_STATS)
 
-    def warm(self, spark: SparkSession) -> "InvertedIndex":
+    def warm(self, spark: SparkSession, serving_shards: int | None = None,
+             idf_cache_max: int = 2_000_000) -> "InvertedIndex":
         """Pin postings + term_stats in executor memory for a query-serving
         session (the moral equivalent of the reference's st.cache_resource
-        artifact memoization, app_product_search.py:53-119)."""
-        object.__setattr__(self, "_cached", {
-            POSTINGS: self.io.read(spark, POSTINGS).cache(),
-            TERM_STATS: self.io.read(spark, TERM_STATS).cache(),
-        })
-        for df in self._cached.values():
+        artifact memoization, app_product_search.py:53-119).
+
+        Also builds the low-latency serving state:
+          * ``_serving`` — the postings re-sharded by ``range_id`` (doc
+            ranges), the document-sharded layout search engines serve from:
+            every doc's complete postings live in ONE shard, so a query is
+            a single map stage (each shard computes its exact local top-k)
+            plus a k×shards merge — no shuffle, no join.
+          * ``_idf`` — driver-side {term: idf} when the vocabulary is
+            driver-sized (≤ idf_cache_max), so per-query weights cost zero
+            Spark jobs. Larger vocabularies fall back to a bucket-pruned
+            lookup job per query batch.
+        """
+        if self._cached:
+            for df in self._cached.values():
+                if hasattr(df, "unpersist"):
+                    df.unpersist()
+        postings = self.io.read(spark, POSTINGS).cache()
+        term_stats = self.io.read(spark, TERM_STATS).cache()
+        if serving_shards is None:
+            # fewer shards than shuffle width: a served query's per-shard
+            # work is tiny, so task-launch overhead dominates — but keep
+            # ≥8 so one straggler shard can't serialize the stage. A real
+            # serving fleet sets this to its executor-slot count.
+            serving_shards = max(
+                8, int(spark.conf.get("spark.sql.shuffle.partitions")) // 2)
+        serving = (postings.repartition(serving_shards, "range_id")
+                   .select("term", "range_id", "n", "first_doc_id",
+                           "last_doc_id", "max_tf", "min_dl",
+                           "doc_bytes", "tf_bytes", "dl_bytes")
+                   .cache())
+        cached = {POSTINGS: postings, TERM_STATS: term_stats,
+                  "_serving": serving}
+        object.__setattr__(self, "_cached", cached)
+        for df in cached.values():
             df.count()
+        if self.vocab_size <= idf_cache_max:
+            idf = {r["term"]: r["idf"]
+                   for r in term_stats.select("term", "idf").collect()}
+            cached["_idf"] = idf
         return self
+
+    def serving_df(self, spark: SparkSession) -> DataFrame:
+        if not (self._cached and "_serving" in self._cached):
+            self.warm(spark)
+        return self._cached["_serving"]
+
+    def idf_lookup(self) -> dict | None:
+        """Driver-side idf map from warm state (None if not cached)."""
+        if self._cached and "_idf" in self._cached:
+            return self._cached["_idf"]
+        return None
 
     def doc_stats(self, spark: SparkSession) -> DataFrame:
         return self.io.read(spark, DOC_STATS)

@@ -82,10 +82,14 @@ def weights_df(spark: SparkSession, index: InvertedIndex,
 def query_term_weights(spark: SparkSession, index: InvertedIndex,
                        query: str) -> dict[str, float]:
     """Driver-side weights dict (used by the pruned path, which needs the
-    values for its bound expressions)."""
+    values for its bound expressions). Served from the warm idf cache when
+    available (zero Spark jobs), else a bucket-pruned lookup job."""
     qtf = _qtf(query)
     if not qtf:
         return {}
+    idf_map = index.idf_lookup()
+    if idf_map is not None:
+        return {t: idf_map[t] * n for t, n in qtf.items() if t in idf_map}
     rows = _term_stats_pruned(spark, index, sorted(qtf)) \
         .select("term", "idf").collect()
     return {r["term"]: r["idf"] * qtf[r["term"]] for r in rows}
@@ -153,6 +157,62 @@ def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query: str,
     joined = blocks.join(F.broadcast(w), "term")
     return _topk(_score_weighted_blocks(joined, index, with_query_id=False),
                  k)
+
+
+def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
+                     k: int = 10) -> DataFrame:
+    """Low-latency exact BM25 top-k over the warm DOC-SHARDED serving
+    layout (``InvertedIndex.warm``): postings are resident in executor
+    memory re-sharded by ``range_id``, so every document's complete
+    postings live in one shard. The query is then a single map stage —
+    each shard decodes only the query terms' blocks, sums full per-doc
+    scores locally (sorted reduceat, deterministic), and emits its exact
+    local top-k — followed by a k×shards TakeOrderedAndProject merge.
+    No shuffle, no join; weights come from the warm idf cache
+    (zero extra jobs).
+
+    This is the scatter-gather layout real search clusters serve from
+    (per-shard top-k + merge); rank-identical to ``bm25_topk_exact`` —
+    every doc's full score is computed in exactly one shard, so the global
+    top-k is a subset of the union of local top-ks."""
+    weights = query_term_weights(spark, index, query)
+    if not weights:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    k1, b = index.cfg.bm25.k1, index.cfg.bm25.b
+    avgdl = index.avgdl
+    wmap = dict(weights)
+
+    def local_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        docs_acc, score_acc = [], []
+        for pdf in it:
+            for term, n, db, tb, lb in zip(
+                    pdf["term"], pdf["n"], pdf["doc_bytes"],
+                    pdf["tf_bytes"], pdf["dl_bytes"]):
+                d, t, ln = decode_block(bytes(db), bytes(tb), bytes(lb),
+                                        int(n))
+                tf = t.astype(np.float64)
+                denom = tf + k1 * (1 - b + b * ln.astype(np.float64) / avgdl)
+                docs_acc.append(d)
+                score_acc.append(wmap[term] * (tf * (k1 + 1) / denom))
+        if not docs_acc:
+            return
+        d = np.concatenate(docs_acc)
+        s = np.concatenate(score_acc)
+        # deterministic per-doc sum: sort by doc_id, reduceat in id order
+        order = np.argsort(d, kind="stable")
+        d, s = d[order], s[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], d[1:] != d[:-1]]))
+        doc_ids = d[starts]
+        totals = np.add.reduceat(s, starts)
+        top = np.lexsort((doc_ids, -totals))[:k]
+        yield pd.DataFrame({"doc_id": doc_ids[top], "score": totals[top]})
+
+    blocks = index.serving_df(spark).filter(
+        F.col("term").isin(sorted(wmap)))
+    local = blocks.mapInPandas(local_topk, schema=RESULT_SCHEMA)
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def _block_upper_bound_col(weights: dict[str, float], index: InvertedIndex):

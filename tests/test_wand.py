@@ -30,6 +30,19 @@ def test_pruned_equals_exact(spark, small_index, query, k):
                                [r["score"] for r in exact], rtol=1e-12)
 
 
+@pytest.mark.parametrize("query", QUERIES)
+def test_served_equals_exact(spark, small_index, query):
+    """The doc-sharded serving path (warm, zero-shuffle local top-k per
+    shard + merge) must be rank-identical to the exact path."""
+    from review_recommender_spark.query.bm25 import bm25_topk_served
+    small_index.warm(spark, serving_shards=5)
+    exact = bm25_topk_exact(spark, small_index, query, k=10).collect()
+    served = bm25_topk_served(spark, small_index, query, k=10).collect()
+    assert [r["doc_id"] for r in served] == [r["doc_id"] for r in exact]
+    np.testing.assert_allclose([r["score"] for r in served],
+                               [r["score"] for r in exact], rtol=1e-12)
+
+
 def test_pruned_small_seed_still_safe(spark, small_index):
     """Even a 1-range seed must stay rank-identical (θ only prunes ranges
     whose upper bound cannot reach it)."""
