@@ -350,7 +350,8 @@ def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_txt_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: 64-bit simhash signatures (python-parity in pytest)."""
+    """64-bit simhash signatures (md5-based token hash → the full simhash
+    is DuckDB-expressible; python scalar parity also in pytest)."""
     d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return d.select("doc_id", TS.simhash64_udf(F.col("text")).alias("simhash"))
 
@@ -745,6 +746,25 @@ WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) FROM events) - 86400000000
 GROUP BY event_type""",
         "txt_quality": quality,
         "txt_lang_id": lang_sql,
+        "txt_simhash": f"""
+WITH toks AS (SELECT doc_id, unnest({K1SQL}) AS t FROM documents
+              WHERE doc_id < 200),
+th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::ubigint AS h
+       FROM toks),
+bits AS (SELECT doc_id, b AS bit,
+                sum(CASE WHEN (h >> b::ubigint) & 1 = 1 THEN 1 ELSE -1 END)
+                AS vote
+         FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+         GROUP BY doc_id, b),
+sig AS (SELECT doc_id,
+               sum(CASE WHEN vote > 0 THEN (1::hugeint << bit::hugeint)
+                        ELSE 0::hugeint END) AS s
+        FROM bits GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(CASE WHEN s >= 9223372036854775808::hugeint
+                     THEN (s - 18446744073709551616::hugeint)::bigint
+                     ELSE s::bigint END, 0) AS simhash
+FROM documents d LEFT JOIN sig USING (doc_id) WHERE d.doc_id < 200""",
         "txt_fingerprint": """
 SELECT doc_id,
        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint

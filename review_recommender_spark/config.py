@@ -99,11 +99,13 @@ class IndexConfig:
     # postings (directory-level pruning for query terms). Keep modest
     # locally; at cluster scale this would be O(thousands).
     term_buckets: int = 32
-    # Head-term salting: a term whose df exceeds this threshold has its
-    # posting build split across `n_salts` reducers (salt = doc_id % n_salts)
-    # and re-merged per (term, range). Guards Zipf head-term skew.
-    salt_df_threshold: int = 100_000
-    n_salts: int = 8
+    # Head-term skew treatment: the Stage C shuffle hashes on the PAIR
+    # (term, range_id) — a head term's postings are split across reducers
+    # by doc-range (range_shift bounds any reducer's share of one term to
+    # 2**range_shift docs), which is unconditional salting by doc-range:
+    # stronger than df-threshold salting because no df statistics pass is
+    # needed and EVERY term is bounded. See index/build.py Stage C and
+    # tests/test_plans.py::test_head_term_skew_bounded.
     # K1 tokenizer cap (reference nlp/12_product_prep.py:78).
     token_cap: int = 5000
     # minimum text length to index (reference MIN_TEXT_LEN, nlp/11:22).

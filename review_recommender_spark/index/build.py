@@ -43,6 +43,7 @@ manifest (index/tableio.py).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import zlib
 from dataclasses import dataclass
@@ -288,17 +289,52 @@ class InvertedIndex:
                    vocab_size=row["vocab_size"])
 
 
-def build_index(spark: SparkSession, docs: DataFrame, io: TableIO,
+def _file_chunk_groups(path: str, n_chunks: int
+                       ) -> tuple[list[list[str]], str]:
+    """Deterministic file→chunk assignment over a parquet directory, plus
+    a digest of the file listing (name + size) so resume invalidates when
+    the input changed. Round-robin over the sorted listing keeps chunks
+    byte-balanced for uniformly-sized input files (the usual case for a
+    table written by a previous Spark job)."""
+    import pyarrow.dataset as pa_ds
+    ds = pa_ds.dataset(path, format="parquet")
+    files = sorted(ds.files)
+    h = hashlib.sha256()
+    for f in files:
+        h.update(f.encode())
+        h.update(str(os.path.getsize(f)).encode())
+    return [files[i::n_chunks] for i in range(n_chunks)], h.hexdigest()[:16]
+
+
+def build_index(spark: SparkSession, docs: DataFrame | str, io: TableIO,
                 cfg: EngineConfig | None = None, *, doc_id_col: str = "doc_id",
                 text_col: str = "text", n_chunks: int = 1,
                 resume: bool = True, shuffle_partitions: int | None = None,
                 input_fingerprint: str | None = None) -> InvertedIndex:
+    """``docs`` may be a DataFrame or a parquet directory path. PASS THE
+    PATH for chunked builds: each Stage A chunk then reads only its own
+    slice of the input files (scan-aligned resume — total input read is
+    ONE pass regardless of n_chunks). With a DataFrame and n_chunks > 1
+    the fallback is a pmod(doc_id) filter, which costs a full input scan
+    PER CHUNK because pmod is not pushable — fine at test scale, a
+    scale-killer on the 100-TB table the checkpointing exists for."""
     cfg = cfg or EngineConfig()
-    fp = input_fingerprint or config_fingerprint(
+    docs_path = docs if isinstance(docs, str) else None
+    file_groups: list[list[str]] | None = None
+    files_digest = None
+    if docs_path is not None:
+        if n_chunks > 1:
+            file_groups, files_digest = _file_chunk_groups(docs_path,
+                                                           n_chunks)
+        docs = spark.read.parquet(docs_path)
+    fp_kwargs = dict(
         format_version=LOCAL_TF_FORMAT_VERSION,
         tokenizer="simple_en_v1", cap=cfg.index.token_cap,
         block=cfg.index.block_size, shift=cfg.index.range_shift,
         n_chunks=n_chunks)
+    if files_digest is not None:
+        fp_kwargs["files"] = files_digest
+    fp = input_fingerprint or config_fingerprint(**fp_kwargs)
 
     # ---- Stage A: chunked, resumable local_tf ----
     writer = ChunkedWriter(io=io, name=LOCAL_TF, n_chunks=n_chunks,
@@ -306,8 +342,15 @@ def build_index(spark: SparkSession, docs: DataFrame, io: TableIO,
     writer.clean_stale()
     pending = writer.pending_chunks() if resume else list(range(n_chunks))
     for i in pending:
-        chunk = docs if n_chunks == 1 else docs.filter(
-            F.pmod(F.col(doc_id_col), F.lit(n_chunks)) == i)
+        if file_groups is not None:
+            grp = file_groups[i]
+            chunk = (spark.read.schema(docs.schema).parquet(*grp) if grp
+                     else spark.createDataFrame([], docs.schema))
+        elif n_chunks == 1:
+            chunk = docs
+        else:
+            chunk = docs.filter(
+                F.pmod(F.col(doc_id_col), F.lit(n_chunks)) == i)
         tf_df = _tf_rows(_tokens_df(chunk, cfg, doc_id_col, text_col),
                          cfg.index.token_cap)
         writer.write_chunk(tf_df, i)

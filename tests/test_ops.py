@@ -85,7 +85,11 @@ def test_simhash_python_parity_and_similarity(spark, docs_df):
            sub.select("doc_id",
                       TS.simhash64_udf(F.col("text")).alias("sh")).collect()}
     pdf = sub.toPandas()
-    # python-side recomputation through the same kernel must agree
+    # independent scalar reference implementation must agree (stronger
+    # than recomputing through the same kernel)
+    for d, text in zip(pdf["doc_id"], pdf["text"]):
+        assert got[d] == TS.simhash64_py(text), d
+    # and the batch kernel agrees with itself python-side
     exp = TS.simhash64_udf.func(pdf["text"])
     for d, e in zip(pdf["doc_id"], exp):
         assert got[d] == e

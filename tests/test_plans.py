@@ -70,3 +70,44 @@ def test_docs_filter_pushdown(spark):
     assert pushed and "doc_id" in pushed.group(1), plan
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and "text" not in m.group(1), plan
+
+
+def test_head_term_skew_bounded(spark):
+    """North rule: 'skewed head terms are salted'. The mechanism is the
+    Stage C shuffle key — hashing on (term, range_id) splits a head term's
+    postings across reducers by doc-range. With a term in 50% of all docs,
+    no reducer may hold more than 2× the median row count; the same rows
+    hashed on term ALONE must show the skew (proving the pair is what
+    fixes it)."""
+    import dataclasses
+
+    import numpy as np
+    import pandas as pd
+    from review_recommender_spark.config import EngineConfig
+    from review_recommender_spark.index.build import _tf_rows, _tokens_df
+
+    n = 4096
+    texts = ["hot" if i % 2 == 0 else f"cold{i} filler{i}"
+             for i in range(n)]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(n), "text": texts}),
+        "doc_id long, text string")
+    cfg = EngineConfig()
+    cfg = dataclasses.replace(
+        cfg, index=dataclasses.replace(cfg.index, range_shift=6))
+    tf = _tf_rows(_tokens_df(docs, cfg, "doc_id", "text"),
+                  cfg.index.token_cap)
+    tfp = (tf.filter(F.col("term").isNotNull())
+           .withColumn("range_id", F.shiftright(F.col("doc_id"),
+                                                cfg.index.range_shift)))
+
+    def partition_counts(df):
+        pdf = (df.select(F.spark_partition_id().alias("p"))
+               .groupBy("p").count().toPandas())
+        return pdf["count"].to_numpy()
+
+    pair = partition_counts(tfp.repartition(32, "term", "range_id"))
+    assert pair.max() <= 2 * np.median(pair), pair.tolist()
+
+    solo = partition_counts(tfp.repartition(32, "term"))
+    assert solo.max() > 2 * np.median(solo), solo.tolist()

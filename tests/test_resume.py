@@ -65,6 +65,36 @@ def test_resume_skips_completed_chunks_and_matches(spark, small_pages,
     assert idx_res.avgdl == idx_full.avgdl
 
 
+def test_file_aligned_chunks_single_input_pass(spark, small_pages, tmp_path):
+    """Path-mode chunked build: chunk groups PARTITION the input file set
+    (each chunk scans ~1/n of the files, one total input pass — no
+    per-chunk full rescan), the result is identical to an unchunked build,
+    and changing the input invalidates resume."""
+    from review_recommender_spark.index.build import _file_chunk_groups
+
+    src = str(tmp_path / "pages_src")
+    small_pages.repartition(8).write.parquet(src)
+    cfg = _cfg()
+
+    groups, digest = _file_chunk_groups(src, 4)
+    allf = [f for g in groups for f in g]
+    assert len(allf) == len(set(allf)) == 8          # disjoint + complete
+    assert max(len(g) for g in groups) <= 2           # balanced: ~1/n each
+
+    idx_f = build_index(spark, src, TableIO(str(tmp_path / "bychunkf")),
+                        cfg, n_chunks=4)
+    idx_1 = build_index(spark, small_pages,
+                        TableIO(str(tmp_path / "bychunk1")), cfg, n_chunks=1)
+    assert _collect_index(spark, idx_f) == _collect_index(spark, idx_1)
+    assert (idx_f.n_docs, idx_f.avgdl) == (idx_1.n_docs, idx_1.avgdl)
+
+    # appending a file to the input changes the listing digest → the old
+    # chunk checkpoints no longer match and a resume must redo everything
+    small_pages.limit(1).write.mode("append").parquet(src)
+    _, digest2 = _file_chunk_groups(src, 4)
+    assert digest2 != digest
+
+
 def test_fingerprint_mismatch_forces_rebuild(tmp_path, spark, small_pages):
     cfg = _cfg()
     io = TableIO(str(tmp_path / "fp"))
