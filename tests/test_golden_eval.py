@@ -38,7 +38,29 @@ def test_quality_floor(eval_results):
     assert eval_results["bm25_only"]["recall@20"] > 0.5, table
 
 
-def test_hybrid_not_worse_than_weakest_single(eval_results):
-    weakest = min(eval_results["dense_only"]["ndcg@10"],
-                  eval_results["bm25_only"]["ndcg@10"])
-    assert eval_results["hybrid"]["ndcg@10"] >= weakest - 0.05
+def test_method_ordering_matches_reference(eval_results):
+    """The reference's §1 quality ordering (README.md:307-311:
+    hybrid+rerank ≥ hybrid ≥ singles) must hold on the planted eval —
+    the corpus plants graded relevants, two hard-negative families and
+    synonym paraphrases precisely so single-signal methods cannot
+    saturate and fusion genuinely earns its margin."""
+    nd = {m: eval_results[m]["ndcg@10"] for m in eval_results}
+    assert nd["hybrid_rerank"] >= nd["hybrid"] - 1e-9, nd
+    assert nd["hybrid"] >= max(nd["dense_only"], nd["bm25_only"]) - 1e-9, nd
+    # non-saturation: a method at 1.0 means the task stopped discriminating
+    assert max(nd.values()) < 0.995, nd
+    # fusion margin is real, not a tie
+    assert nd["hybrid"] >= min(nd["dense_only"], nd["bm25_only"]) + 0.05, nd
+
+
+def test_distractor_offsets_disjoint_from_relevants():
+    from review_recommender_spark.corpus.pages import (
+        GOLDEN_PHRASES, distractor_doc_offsets, planted_doc_offsets)
+    rel = {off for qi in range(len(GOLDEN_PHRASES))
+           for off in planted_doc_offsets(qi)}
+    for qi in range(len(GOLDEN_PHRASES)):
+        for fam in (0, 1):
+            # generator SKIPS colliding offsets rather than corrupting a
+            # relevant doc; assert most survive so the families exist
+            offs = distractor_doc_offsets(qi, fam)
+            assert len([o for o in offs if o not in rel]) >= 1, (qi, fam)
