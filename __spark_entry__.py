@@ -296,8 +296,9 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: LSH candidate pairs from banded minhash signatures
-    (self-dup planted by unioning shifted copies of 20 docs)."""
+    """LSH candidate pairs from banded minhash signatures (self-dup
+    planted by unioning shifted copies of 20 docs). Oracle-verified: the
+    band join keys on the band VALUES, which is plain SQL equality."""
     d = _load(spark, sf_dir, "documents").select("doc_id", "text")
     dups = (d.filter(F.col("doc_id") < 20)
             .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
@@ -496,6 +497,42 @@ def q_docbuild_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("sku", "n_reviews", "avg_stars", "last_ts", "agg_text")
 
 
+def q_normalize_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed etl/02 ingest over two reference-shaped sources built
+    from the events table: source 'alpha' is SNAP-shaped (reviewText /
+    overall / asin / unixReviewTime / reviewerID, some ids blank to
+    exercise the stable-id fallback), source 'beta' is kaggle-shaped
+    (content / rating / product_id / string date / review_id) with ids
+    overlapping alpha's to exercise first-source-wins dedup."""
+    e = _load(spark, sf_dir, "events")
+    secs = F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                   / 1_000_000).cast("long")
+    alpha = e.select(
+        F.concat_ws(" ", F.lit("review"), "event_type", "props")
+        .alias("reviewText"),
+        (F.col("event_id") % 6).cast("int").alias("overall"),
+        F.col("user_id").cast("string").alias("asin"),
+        secs.alias("unixReviewTime"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("a"), F.col("event_id").cast("string")))
+        .alias("reviewerID"))
+    beta = e.filter(F.col("event_id") % 2 == 0).select(
+        F.concat_ws(" ", F.lit("opinion"), "props", "event_type")
+        .alias("content"),
+        ((F.col("event_id") + 2) % 6).cast("int").alias("rating"),
+        F.concat(F.lit("P"), F.col("user_id").cast("string"))
+        .alias("product_id"),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss")
+        .alias("date"),
+        F.when(F.col("event_id") % 4 == 0,
+               F.concat(F.lit("a"), F.col("event_id").cast("string")))
+        .otherwise(F.concat(F.lit("b"), F.col("event_id").cast("string")))
+        .alias("review_id"))
+    merged = ETL.normalize_merge([("alpha", alpha), ("beta", beta)])
+    return merged.select("id", "sku", "ts", "stars", "source",
+                         F.length("text").alias("text_len"))
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -537,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_meta": q_mm_media_meta,
         "mm_image_features": q_mm_image_features,
         "docbuild_products": q_docbuild_products,
+        "normalize_merge": q_normalize_merge,
         "spam_flags": q_spam_flags,
         "outer_join_coalesce": q_outer_join_coalesce,
         "argmax_per_group": q_argmax_per_group,
@@ -597,6 +635,34 @@ _LANG_HITS = {
 _MINHASH_SHINGLES = (
     f"list_transform(generate_series(1, greatest(len({K1SQL}) - 2, 0)), "
     f"i -> array_to_string(list_slice({K1SQL}, i, i + 2), ' '))")
+
+
+def _minhash_lsh_sql(k: int = 16, bands: int = 4, rows_per_band: int = 4,
+                     dup_below: int = 20) -> str:
+    params = D.minhash_params(k)
+    aggs = ", ".join(
+        f"min(({a} * h + {b}) % {D.MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(params))
+    band_conds = " OR ".join(
+        "(" + " AND ".join(
+            f"a.mh_{band * rows_per_band + r} = b.mh_{band * rows_per_band + r}"
+            for r in range(rows_per_band)) + ")"
+        for band in range(bands))
+    return f"""
+WITH uni AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < {dup_below}),
+sh AS (SELECT doc_id AS mh_id, unnest({_MINHASH_SHINGLES}) AS shingle
+       FROM uni),
+hashed AS (SELECT mh_id,
+                  ('0x' || substr(md5(shingle), 1, 8))::bigint
+                  % {D.MINHASH_PRIME} AS h
+           FROM sh),
+sigs AS (SELECT mh_id, {aggs} FROM hashed GROUP BY mh_id)
+SELECT DISTINCT a.mh_id AS id_a, b.mh_id AS id_b
+FROM sigs a JOIN sigs b ON a.mh_id < b.mh_id
+WHERE {band_conds}"""
 
 
 def _minhash_sql(k: int, max_id: int) -> str:
@@ -797,6 +863,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                   ELSE 0.0 END, 6) AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id""",
         "dedup_minhash_sig": _minhash_sql(8, 100),
+        "dedup_minhash_lsh": _minhash_lsh_sql(16, 4, 4, 20),
         "sim_cosine_topk": """
 WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv
                 FROM embeddings WHERE vec_id IN (0, 1, 2)),
@@ -882,6 +949,47 @@ ranked AS (SELECT *, row_number() OVER (PARTITION BY grp
                  ORDER BY tfidf DESC, term) AS rank
            FROM scored)
 SELECT grp, term, tfidf, rank FROM ranked WHERE rank <= 5""",
+        "normalize_merge": """
+WITH secs AS (SELECT *, (epoch_us(ts) // 1000000)::bigint AS unix_s
+              FROM events),
+alpha_raw AS (
+  SELECT concat_ws(' ', 'review', event_type, props) AS text0,
+         (event_id % 6)::int AS stars0,
+         user_id::varchar AS sku0,
+         make_timestamp(unix_s * 1000000) AS ts0,
+         CASE WHEN event_id % 5 = 0 THEN ''
+              ELSE 'a' || event_id::varchar END AS rawid
+  FROM secs),
+beta_raw AS (
+  SELECT concat_ws(' ', 'opinion', props, event_type) AS text0,
+         ((event_id + 2) % 6)::int AS stars0,
+         'P' || user_id::varchar AS sku0,
+         CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS ts0,
+         CASE WHEN event_id % 4 = 0 THEN 'a' || event_id::varchar
+              ELSE 'b' || event_id::varchar END AS rawid
+  FROM secs WHERE event_id % 2 = 0),
+cleaned AS (
+  SELECT * FROM (
+    SELECT CASE WHEN trim(coalesce(rawid, '')) <> '' THEN rawid
+                ELSE substr(sha256(concat_ws('|', coalesce(trim(text0), ''),
+                     CASE WHEN ts0 IS NOT NULL
+                          THEN strftime(ts0, '%Y-%m-%dT%H:%M:%S') || '+00:00'
+                          ELSE '' END,
+                     coalesce(sku0, ''))), 1, 32) END AS id,
+           sku0 AS sku, ts0 AS ts, stars0 AS stars, trim(text0) AS text,
+           src AS source, prio
+    FROM (SELECT *, 'alpha' AS src, 0 AS prio FROM alpha_raw
+          UNION ALL
+          SELECT *, 'beta' AS src, 1 AS prio FROM beta_raw))
+  WHERE stars BETWEEN 1 AND 5 AND length(text) >= 10),
+within AS (
+  SELECT * FROM cleaned
+  QUALIFY row_number() OVER (PARTITION BY id, source
+                             ORDER BY ts NULLS LAST, text) = 1),
+final AS (
+  SELECT * FROM within
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY prio) = 1)
+SELECT id, sku, ts, stars, source, length(text) AS text_len FROM final""",
         "joinability_probe": """
 SELECT count(*) AS n,
        round(avg((o_orderkey IS NOT NULL)::int), 6) AS match_rate

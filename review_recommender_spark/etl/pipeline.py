@@ -119,6 +119,95 @@ def build_documents(reviews: DataFrame, key: str = "sku",
             .withColumn("agg_text", F.coalesce("agg_text", F.lit(""))))
 
 
+# Reference pick-order for the composed ingest (etl/02_normalize_merge.py:
+# 21-26) — note it differs slightly from the engine's generic alias lists
+# above; clean_source follows the reference exactly.
+REF_TEXT_COLS = ["text", "reviewtext", "content", "body", "review_body",
+                 "review_text"]
+REF_STAR_COLS = ["stars", "rating", "overall", "score", "star_rating"]
+REF_DATE_COLS = ["date", "reviewtime", "created_at", "timestamp",
+                 "unixreviewtime", "ts"]
+REF_SKU_COLS = ["sku", "asin", "product_id", "item_id", "productid"]
+REF_ID_COLS = ["id", "review_id", "reviewerid"]
+
+
+def clean_source(df: DataFrame, source_name: str) -> DataFrame:
+    """The reference's per-source ``clean_df`` (etl/02:16-85), Spark-first:
+    alias pick → text strip → stars round + keep 1..5 → DUAL timestamp
+    coercion (a date column whose name contains 'unix' parses as unix
+    SECONDS, any other as a timestamp string; both UTC — etl/02:57-63) →
+    id = existing non-blank id else sha256(text|ts-iso|sku)[:32]
+    (etl/02:12-14, 69-76) → len(text) ≥ 10 → dedup by id. The reference's
+    drop_duplicates keeps pandas file order; the distributed analogue
+    keeps the first row by (ts NULLS LAST, text) — a documented
+    determinism hardening (cf. quirk Q7). Sub-second timestamps are out of
+    scope (the reference sources carry second resolution)."""
+    lower = {c.lower(): c for c in df.columns}
+
+    def pick(cands: list[str]) -> str | None:
+        for c in cands:
+            if c in lower:
+                return lower[c]
+        return None
+
+    c_text, c_star = pick(REF_TEXT_COLS), pick(REF_STAR_COLS)
+    if c_text is None or c_star is None:
+        raise ValueError(f"[{source_name}] missing required columns; "
+                         f"have: {df.columns}")
+    c_date, c_sku, c_id = (pick(REF_DATE_COLS), pick(REF_SKU_COLS),
+                           pick(REF_ID_COLS))
+
+    text = F.trim(F.col(c_text).cast("string"))
+    stars = F.round(F.col(c_star).cast("double")).cast("int")
+    if c_date is None:
+        ts = F.lit(None).cast("timestamp")
+    elif "unix" in c_date.lower():
+        ts = F.to_timestamp(F.col(c_date).cast("long"))
+    else:
+        ts = F.to_timestamp(F.col(c_date).cast("string"))
+    sku = (F.col(c_sku).cast("string") if c_sku
+           else F.lit(None).cast("string"))
+    # python isoformat() of a UTC pandas timestamp renders "+00:00"
+    # (java's XXX pattern would render "Z" — so the offset is a literal)
+    ts_iso = F.when(
+        ts.isNotNull(),
+        F.concat(F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"),
+                 F.lit("+00:00"))).otherwise(F.lit(""))
+    sid = F.sha2(F.concat_ws("|", F.coalesce(text, F.lit("")), ts_iso,
+                             F.coalesce(sku, F.lit(""))), 256).substr(1, 32)
+    raw_id = (F.col(c_id).cast("string") if c_id
+              else F.lit(None).cast("string"))
+    id_col = F.when(F.trim(F.coalesce(raw_id, F.lit(""))) != "", raw_id) \
+        .otherwise(sid)
+
+    out = df.select(id_col.alias("id"), sku.alias("sku"), ts.alias("ts"),
+                    stars.alias("stars"), text.alias("text"),
+                    F.lit(source_name).alias("source"))
+    out = (out.filter(F.col("stars").between(1, 5))
+           .filter(F.length("text") >= 10))
+    w = Window.partitionBy("id").orderBy(F.asc_nulls_last("ts"),
+                                         F.asc("text"))
+    return (out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def normalize_merge(sources: list[tuple[str, DataFrame]]) -> DataFrame:
+    """The composed etl/02 ingest: clean each source, union, dedup by id
+    with FIRST-SOURCE-WINS (the reference concatenates kaggle before snap
+    and drop_duplicates keeps the first — etl/02:136-139; here the source
+    list order is the priority, made deterministic with a window)."""
+    cleaned = []
+    for prio, (name, df) in enumerate(sources):
+        cleaned.append(clean_source(df, name)
+                       .withColumn("__prio", F.lit(prio)))
+    uni = cleaned[0]
+    for d in cleaned[1:]:
+        uni = uni.unionByName(d)
+    w = Window.partitionBy("id").orderBy(F.asc("__prio"))
+    return (uni.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn", "__prio"))
+
+
 def best_snippet_per_key(df: DataFrame, key: str = "sku",
                          score_col: str = "__sim") -> DataFrame:
     """A3 — per-key argmax row with first-max-wins tie-break via original

@@ -99,15 +99,19 @@ def minhash_signatures(df: DataFrame, id_col: str, shingle_col: str,
 def minhash_lsh_candidates(sigs: DataFrame, bands: int = 4,
                            rows_per_band: int = 4) -> DataFrame:
     """Band the signature into `bands` groups of `rows_per_band` values and
-    bucket-join: docs sharing any band bucket become a candidate pair.
-    One shuffle keyed by (band, bucket-hash)."""
-    k = bands * rows_per_band
+    bucket-join: docs sharing ALL values of any band become a candidate
+    pair. One shuffle keyed by (band, band-values) — joining on the values
+    themselves (an array key) rather than a hash of them keeps the
+    candidate set exactly the LSH definition (no cross-bucket hash
+    collisions) and makes the operator expressible in ANSI SQL for the
+    DuckDB oracle."""
     buckets = sigs.select(
         "mh_id",
         F.explode(F.array(*[
             F.struct(F.lit(band).alias("band"),
-                     F.hash(*[F.col(f"mh_{band * rows_per_band + r}")
-                              for r in range(rows_per_band)]).alias("bucket"))
+                     F.array(*[F.col(f"mh_{band * rows_per_band + r}")
+                               for r in range(rows_per_band)])
+                     .alias("bucket"))
             for band in range(bands)])).alias("bb"))
     buckets = buckets.select("mh_id", "bb.band", "bb.bucket")
     left = buckets.alias("l")

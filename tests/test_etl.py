@@ -105,3 +105,54 @@ def test_union_dedup_by_id(spark):
     b = spark.createDataFrame([("y", 2), ("z", 3)], "id string, v int")
     out = union_dedup_by_id([a, b], "id")
     assert sorted(r["id"] for r in out.collect()) == ["x", "y", "z"]
+
+
+def test_clean_source_dual_timestamp_and_id_fallback(spark):
+    """etl/02:57-63 dual coercion: a 'unix'-named date column parses as
+    unix SECONDS, a string column as a timestamp string; blank/missing
+    ids fall back to sha256(text|ts-iso|sku)[:32] (etl/02:12-14)."""
+    import hashlib
+
+    from review_recommender_spark.etl.pipeline import clean_source
+
+    unix_src = spark.createDataFrame(
+        [("a really long review text", 4.4, "SKU1", 1609556645, "idA"),
+         ("another quite long review", 3.0, "SKU2", 1609556646, "  ")],
+        "reviewText string, overall double, asin string, "
+        "unixReviewTime long, reviewerID string")
+    out = {r["id"]: r for r in clean_source(unix_src, "snap").collect()}
+    assert "idA" in out
+    assert str(out["idA"]["ts"]) == "2021-01-02 03:04:05"
+    assert out["idA"]["stars"] == 4  # 4.4 rounds
+    # blank id → stable hash with isoformat ts (+00:00 suffix)
+    key = "another quite long review|2021-01-02T03:04:06+00:00|SKU2"
+    exp = hashlib.sha256(key.encode()).hexdigest()[:32]
+    assert exp in out
+
+    str_src = spark.createDataFrame(
+        [("string date long enough text", 5, "P1",
+          "2021-01-02 03:04:05", "idB")],
+        "content string, rating int, product_id string, date string, "
+        "review_id string")
+    row = clean_source(str_src, "kaggle").collect()[0]
+    assert str(row["ts"]) == "2021-01-02 03:04:05"
+    assert row["source"] == "kaggle"
+
+
+def test_normalize_merge_first_source_wins(spark):
+    from review_recommender_spark.etl.pipeline import normalize_merge
+    a = spark.createDataFrame(
+        [("shared-id", "first source review text", 4, "S1",
+          "2021-01-01 00:00:00")],
+        "id string, text string, stars int, sku string, date string")
+    b = spark.createDataFrame(
+        [("shared-id", "second source review text", 2, "S2",
+          "2021-06-01 00:00:00"),
+         ("only-b", "unique second source text", 5, "S3",
+          "2021-06-02 00:00:00")],
+        "id string, text string, stars int, sku string, date string")
+    out = {r["id"]: r for r in
+           normalize_merge([("alpha", a), ("beta", b)]).collect()}
+    assert set(out) == {"shared-id", "only-b"}
+    assert out["shared-id"]["source"] == "alpha"   # first source wins
+    assert out["only-b"]["source"] == "beta"
