@@ -328,6 +328,18 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("probe_id", "vec_id", "cosine", "rank"))
 
 
+def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF ANN — k-means coarse quantizer, only the nprobe
+    nearest clusters scanned per probe (recall ≥0.9 gate in pytest;
+    the scale path for the hybrid dense pool, dense_mode='ivf')."""
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = (emb.filter(F.col("vec_id").isin(0, 1, 2))
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").alias("probe_vec")))
+    return (S.ivf_cosine_topk(emb, probes, k=5, n_clusters=8, nprobe=4)
+            .select("probe_id", "vec_id", "cosine", "rank"))
+
+
 # ----------------------------------------------------------- multimodal
 
 def q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_ann": q_sim_lsh_ann,
+        "sim_ivf_ann": q_sim_ivf_ann,
         "mm_media_meta": q_mm_media_meta,
         "mm_image_features": q_mm_image_features,
         "docbuild_products": q_docbuild_products,

@@ -81,6 +81,27 @@ def dense_topk_batch(spark: SparkSession, embeddings: DataFrame,
             .filter(F.col("__r") <= pool).drop("__r"))
 
 
+def dense_topk_batch_ivf(spark: SparkSession, embeddings: DataFrame,
+                         queries: list[str], pool: int,
+                         id_col: str = "doc_id", vec_col: str = "embedding",
+                         n_clusters: int = 16, nprobe: int = 6) -> DataFrame:
+    """ANN pool stage: IVF (k-means coarse quantizer, scan only the
+    nprobe nearest clusters per query) instead of the full embeddings
+    scan. Approximate — recall@pool vs the exact scan is pytest-gated
+    ≥ 0.9; at 10^12 rows this replaces a full-corpus matmul per batch
+    with a directory-pruned read of nprobe/n_clusters of the table."""
+    from ..ops.similarity import ivf_cosine_topk
+    probes = spark.createDataFrame(
+        [(qi, encode_text(q).tolist()) for qi, q in enumerate(queries)],
+        "query_id int, probe_vec array<float>")
+    res = ivf_cosine_topk(embeddings, probes, id_col=id_col,
+                          vec_col=vec_col, probe_id_col="query_id",
+                          probe_vec_col="probe_vec", k=pool,
+                          n_clusters=n_clusters, nprobe=nprobe)
+    return res.select("query_id", F.col(id_col),
+                      F.col("cosine").cast("float").alias("_dense"))
+
+
 def bestrev_scores_batch(spark: SparkSession, reviews_emb: DataFrame,
                          pool_pairs: DataFrame, queries: list[str],
                          id_col: str = "doc_id",
@@ -178,6 +199,7 @@ def hybrid_search_batch(spark: SparkSession, index: InvertedIndex,
                         k: int = 10,
                         rerank_fn: Callable | None = cross_encoder_score,
                         reviews_emb: DataFrame | None = None,
+                        dense_mode: str = "scan",
                         ) -> DataFrame:
     """Full hybrid pipeline for a batch of queries.
 
@@ -185,12 +207,18 @@ def hybrid_search_batch(spark: SparkSession, index: InvertedIndex,
     reviews_emb (optional, the reviews_with_embeddings analogue —
     nlp/11:152-163): doc_id, review_id, text, stars, embedding; when given,
     the R6 best-review signal is computed per pool key (app/test.py:273-289)
-    instead of being identically 0 (reference --no-snippets mode)."""
+    instead of being identically 0 (reference --no-snippets mode).
+    dense_mode: 'scan' (exact, oracle-parity) or 'ivf' (ANN pool stage —
+    approximate, for corpora where a full embeddings scan per batch is
+    too expensive; recall@pool ≥ 0.9 pytest-gated)."""
     cfg = cfg or index.cfg
     sp = cfg.second_pass
     pool = max(k, sp.rerank_k, sp.pool_floor)
 
-    dense = dense_topk_batch(spark, embeddings, queries, pool)
+    if dense_mode == "ivf":
+        dense = dense_topk_batch_ivf(spark, embeddings, queries, pool)
+    else:
+        dense = dense_topk_batch(spark, embeddings, queries, pool)
     if reviews_emb is not None:
         # the pool feeds two consumers (cand + the bestrev semi-join);
         # cache it so the embeddings scan underneath runs once. The cached

@@ -157,3 +157,55 @@ def test_lang_id_votes(spark):
     out = {r["doc_id"]: r["lang_pred"]
            for r in TS.lang_id(df).collect()}
     assert out[0] == "en" and out[1] == "es" and out[2] == "und"
+
+
+def test_ivf_recall_vs_brute_force(spark, small_pages):
+    """IVF ANN (16 clusters, nprobe 8 → ~50% of the corpus scanned) must
+    hold mean recall ≥ 0.9 against the exact scan for top-20 pools (the
+    KMeans quantizer is seed-deterministic but partitioning-sensitive, so
+    the per-query floor is gated at 0.8)."""
+    from review_recommender_spark.ops.similarity import (
+        brute_force_cosine_topk, ivf_cosine_topk)
+    from review_recommender_spark.query.encoder import (embed_documents,
+                                                        encode_text)
+    emb = (embed_documents(small_pages.select("doc_id", "text"))
+           .select(F.col("doc_id").alias("vec_id"), "embedding").cache())
+    emb.count()
+    queries = ["wireless bluetooth headphones", "yellow cat socks",
+               "organic green tea", "usb charging cable long"]
+    probes = spark.createDataFrame(
+        [(qi, encode_text(q).tolist()) for qi, q in enumerate(queries)],
+        "probe_id int, probe_vec array<float>")
+    exact = brute_force_cosine_topk(emb, probes, k=20).toPandas()
+    approx = ivf_cosine_topk(emb, probes, k=20, n_clusters=16,
+                             nprobe=8).toPandas()
+    recalls = []
+    for pid in range(len(queries)):
+        e = set(exact[exact["probe_id"] == pid]["vec_id"])
+        a = set(approx[approx["probe_id"] == pid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    emb.unpersist()
+    assert float(np.mean(recalls)) >= 0.9, recalls
+    assert min(recalls) >= 0.8, recalls
+
+
+def test_hybrid_dense_mode_ivf(spark, small_pages, small_index):
+    """hybrid_search_batch(dense_mode='ivf') returns well-formed results
+    whose top-k substantially overlaps the exact-scan pipeline."""
+    from review_recommender_spark.corpus.pages import page_meta_cols
+    from review_recommender_spark.query.encoder import embed_documents
+    from review_recommender_spark.query.search import hybrid_search_batch
+    emb = (embed_documents(small_pages.select("doc_id", "text"))
+           .select("doc_id", "embedding").cache())
+    emb.count()
+    meta = (small_pages.select("doc_id", F.col("text").alias("agg_text"))
+            .join(page_meta_cols(small_pages.select("doc_id")), "doc_id"))
+    queries = ["wireless bluetooth headphones"]
+    exact = hybrid_search_batch(spark, small_index, emb, meta, queries,
+                                k=10).toPandas()
+    ivf = hybrid_search_batch(spark, small_index, emb, meta, queries,
+                              k=10, dense_mode="ivf").toPandas()
+    emb.unpersist()
+    assert len(ivf) == 10
+    overlap = len(set(exact["doc_id"]) & set(ivf["doc_id"])) / 10
+    assert overlap >= 0.7, (overlap, sorted(ivf["doc_id"]))
