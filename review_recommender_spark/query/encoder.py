@@ -83,19 +83,62 @@ def encode_batch(texts: list[str], dim: int = DIM) -> np.ndarray:
         np.zeros((0, dim), dtype=np.float32)
 
 
+class HashingEncoder:
+    """Default 'model': the deterministic hashing encoder behind a
+    sentence-transformers-shaped interface (``encode(list[str]) ->
+    (B, dim) float32``)."""
+
+    def __init__(self, dim: int = DIM):
+        self.dim = dim
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        return encode_batch(list(texts), self.dim)
+
+
+# Per-PROCESS model singletons (python workers are reused across tasks;
+# keying by qualified name survives re-pickling of the factory per task).
+# This is the executor-side analogue of the reference's lazy global
+# encoder (_ST in app/test.py / nlp/11:46-47): a heavyweight model loads
+# at most once per worker process, not once per task or batch.
+_WORKER_MODELS: dict = {}
+
+
+def _worker_model(factory, key: str):
+    model = _WORKER_MODELS.get(key)
+    if model is None:
+        model = _WORKER_MODELS[key] = factory()
+    return model
+
+
 def embed_documents(df: DataFrame, text_col: str = "text",
-                    out_col: str = "embedding", dim: int = DIM) -> DataFrame:
-    """Distributed embedding build — iterator UDF with lazy per-worker init
-    (the Spark-native analogue of the reference's sharded encode loop with
-    batch=256, nlp/11:72-85)."""
+                    out_col: str = "embedding", dim: int = DIM,
+                    batch_size: int = 256,
+                    model_factory=None) -> DataFrame:
+    """Distributed embedding build — iterator UDF with a lazy per-worker
+    model singleton and explicit encode batching (the Spark-native
+    analogue of the reference's sharded encode loop, batch=256 at
+    nlp/11:20,72-85).
+
+    ``model_factory``: zero-arg callable returning an object with
+    ``encode(list[str]) -> (B, dim) ndarray`` — the seam where a real
+    sentence-transformer loads on a cluster. It must be importable
+    (module-level) so its qualified name keys the per-worker cache."""
+    factory = model_factory or (lambda: HashingEncoder(dim))
+    key = (f"{getattr(model_factory, '__module__', 'default')}."
+           f"{getattr(model_factory, '__qualname__', 'hashing')}:{dim}")
 
     def encode_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # lazy 'model' init happens once per worker here (trivial for the
-        # hashing encoder; the seam where a transformer would load)
+        model = None
         for pdf in it:
+            if model is None:
+                model = _worker_model(factory, key)
             pdf = pdf.copy()
-            pdf[out_col] = [encode_text(t, dim).tolist()
-                            for t in pdf[text_col]]
+            texts = pdf[text_col].tolist()
+            chunks = [model.encode(texts[i:i + batch_size])
+                      for i in range(0, len(texts), batch_size)]
+            vecs = np.concatenate(chunks) if chunks else \
+                np.zeros((0, dim), dtype=np.float32)
+            pdf[out_col] = [v.tolist() for v in vecs]
             yield pdf
 
     from pyspark.sql import types as T

@@ -209,3 +209,68 @@ def test_hybrid_dense_mode_ivf(spark, small_pages, small_index):
     assert len(ivf) == 10
     overlap = len(set(exact["doc_id"]) & set(ivf["doc_id"])) / 10
     assert overlap >= 0.7, (overlap, sorted(ivf["doc_id"]))
+
+
+def test_embed_model_seam_lazy_singleton_and_batching(spark, small_pages,
+                                                      tmp_path):
+    """The M1 model seam: a heavyweight model object must load AT MOST
+    ONCE per python worker process (reference lazy global _ST,
+    app/test.py:146; nlp/11:46-47), encode in caller-controlled batches
+    (batch=64 here, nlp/11:20 uses 256), and produce the same vectors as
+    the default path."""
+    import collections
+    import os
+
+    from review_recommender_spark.query.encoder import embed_documents
+
+    # defined in-function so cloudpickle ships them by VALUE (test modules
+    # are not importable on spark workers)
+    class _RecordingModel:
+        def __init__(self, marker_dir):
+            self.marker_dir = marker_dir
+
+        def encode(self, texts):
+            import os as _os
+            import uuid
+            from review_recommender_spark.query.encoder import encode_batch
+            with open(_os.path.join(
+                    self.marker_dir,
+                    f"batch-{len(texts)}-{uuid.uuid4().hex}"), "w"):
+                pass
+            return encode_batch(list(texts))
+
+    class _CountingFactory:
+        def __init__(self, marker_dir):
+            self.marker_dir = marker_dir
+
+        def __call__(self):
+            import os as _os
+            import uuid
+            with open(_os.path.join(
+                    self.marker_dir,
+                    f"init-{_os.getpid()}-{uuid.uuid4().hex}"), "w"):
+                pass
+            return _RecordingModel(self.marker_dir)
+
+    marker_dir = str(tmp_path / "markers")
+    os.makedirs(marker_dir)
+    out = embed_documents(small_pages.select("doc_id", "text"),
+                          batch_size=64,
+                          model_factory=_CountingFactory(marker_dir))
+    got = {r["doc_id"]: r["embedding"] for r in
+           out.select("doc_id", "embedding").collect()}
+    exp = {r["doc_id"]: r["embedding"] for r in
+           embed_documents(small_pages.select("doc_id", "text"))
+           .select("doc_id", "embedding").collect()}
+    assert got == exp
+
+    markers = os.listdir(marker_dir)
+    inits = [m for m in markers if m.startswith("init-")]
+    batches = [int(m.split("-")[1]) for m in markers
+               if m.startswith("batch-")]
+    # one init per worker PROCESS, never per task/batch
+    per_pid = collections.Counter(m.split("-")[1] for m in inits)
+    assert inits and max(per_pid.values()) == 1, per_pid
+    # batching honored: no encode call exceeds batch_size, rows add up
+    assert batches and max(batches) <= 64
+    assert sum(batches) == small_pages.count()
