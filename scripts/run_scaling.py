@@ -159,9 +159,11 @@ not plan serialization: same input, same plan, only `local[N]` and the
 CPU mask differ. On a real multi-node cluster each executor adds memory
 bandwidth and disks along with cores.
 
-## Query latency (block-max-pruned BM25 top-10, warm index)
+## Query latency (doc-sharded SERVED BM25 top-10, warm index)
 
-p50/p95 per run in the table above; per-query numbers in the raw JSON.
+p50/p95 per run in the table above measure `bm25_topk_served` — the
+zero-shuffle doc-sharded serving path; the raw JSON also carries a
+block-max-pruned sample (`bm25_pruned_p50_sec`, the on-disk batch path).
 Rank-identity of every result vs the BM25Okapi-formula oracle is enforced
 by `python -m pytest -x -q` (tests/test_bm25_parity.py, tests/test_wand.py).
 
@@ -173,8 +175,18 @@ by `python -m pytest -x -q` (tests/test_bm25_parity.py, tests/test_wand.py).
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    # preserve everything below the appendix marker (measurement history,
+    # quality tables, microbenches appended by earlier rounds)
+    appendix = ""
+    marker = "<!-- PRESERVED APPENDIX -->"
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        if marker in old:
+            appendix = old[old.index(marker):]
     with open(out_path, "w") as f:
         f.write(md)
+        if appendix:
+            f.write("\n" + appendix)
     print(md)
 
 
