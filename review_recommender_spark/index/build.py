@@ -365,11 +365,19 @@ def build_index(spark: SparkSession, docs: DataFrame | str, io: TableIO,
     io.write(doc_stats, DOC_STATS,
              lineage={"parent": io.current_snapshot(LOCAL_TF)["snapshot_id"]},
              metrics={})
-    stats_row = io.read(spark, DOC_STATS).agg(
-        F.count("*").alias("n_docs"),
-        F.sum("doc_len").alias("total_tokens")).collect()[0]
-    n_docs = stats_row["n_docs"]
-    total_tokens = stats_row["total_tokens"] or 0
+    # corpus scalars WITHOUT a Spark job: n_docs from parquet footers
+    # (metadata-only at any scale); total_tokens via a driver-side pyarrow
+    # column read while doc_stats is driver-sized, else one Spark agg.
+    from .tableio import parquet_row_count
+    n_docs = parquet_row_count(io.path(DOC_STATS))
+    if n_docs <= 100_000_000:
+        import pyarrow.dataset as pa_ds
+        tbl = pa_ds.dataset(io.path(DOC_STATS), format="parquet") \
+            .to_table(columns=["doc_len"])
+        total_tokens = int(tbl["doc_len"].to_numpy().sum()) if n_docs else 0
+    else:
+        total_tokens = io.read(spark, DOC_STATS).agg(
+            F.sum("doc_len")).collect()[0][0] or 0
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
     # ---- Stage C: the (term, range) shuffle → encoded posting blocks ----

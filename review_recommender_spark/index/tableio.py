@@ -35,6 +35,18 @@ def _config_hash(obj: Any) -> str:
         json.dumps(obj, sort_keys=True, default=str).encode()).hexdigest()[:16]
 
 
+def parquet_row_count(path: str) -> int:
+    """Row count from parquet footers — metadata-only, no data scan, any
+    scale (the 'row-count metrics alongside each snapshot' the north rule
+    asks for, at zero job cost)."""
+    import pyarrow.dataset as pa_ds
+    try:
+        ds = pa_ds.dataset(path, format="parquet", partitioning="hive")
+        return sum(f.metadata.num_rows for f in ds.get_fragments())
+    except Exception:  # noqa: BLE001 — missing/empty dir
+        return 0
+
+
 @dataclass
 class TableIO:
     root: str
@@ -54,6 +66,8 @@ class TableIO:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self.path(name))
+        metrics = dict(metrics or {})
+        metrics.setdefault("rows", parquet_row_count(self.path(name)))
         return self.commit_snapshot(name, lineage=lineage, metrics=metrics)
 
     def commit_snapshot(self, name: str, *, lineage: dict[str, Any] | None = None,
@@ -120,11 +134,13 @@ class ChunkedWriter:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self.chunk_dir(i))
+        m = dict(metrics or {})
+        m.setdefault("rows", parquet_row_count(self.chunk_dir(i)))
         with open(self.chunk_manifest_path(i), "w") as f:
             json.dump({
                 "chunk": i,
                 "input_fingerprint": self.input_fingerprint,
-                "metrics": metrics or {},
+                "metrics": m,
             }, f, indent=2)
 
     def pending_chunks(self) -> list[int]:

@@ -34,6 +34,52 @@ def windowed_ingest_stats(pages: DataFrame, watermark: str = "1 hour",
                  F.sum(F.length("text")).alias("n_chars")))
 
 
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
+                      ts_col: str = "ts", key_col: str = "user_id"
+                      ) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running sessionization with the same gap rule as the batch
+    ``q_sessionize`` entry (new session when > gap since the previous
+    event). State per user = (last event time, session count, event
+    count); each micro-batch emits the user's updated running totals, so
+    after a full drain the counts equal the batch computation on the same
+    data (asserted cross-engine in tests/test_streaming.py).
+
+    State is O(1) per user — three longs — so 10^9 users is ~24 GB of
+    state across the fleet, well inside the state store's envelope."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = f"{key_col} long, n_sessions long, n_events long"
+    state_schema = "last_us long, n_sessions long, n_events long"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        if state.exists:
+            last_us, n_sessions, n_events = state.get
+        else:
+            last_us, n_sessions, n_events = None, 0, 0
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.append(pd.to_datetime(pdf[ts_col]).astype("int64")
+                          // 1000)
+        for t in sorted(pd.concat(ts_all)) if ts_all else []:
+            t = int(t)
+            if last_us is None or t - last_us > gap_us:
+                n_sessions += 1
+            n_events += 1
+            last_us = t
+        state.update((int(last_us or 0), int(n_sessions), int(n_events)))
+        yield pd.DataFrame({key_col: [key[0]],
+                            "n_sessions": [n_sessions],
+                            "n_events": [n_events]})
+
+    import pandas as pd  # noqa: F401  (kernel dependency, imported lazily)
+    return (events.groupBy(key_col)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def stage_for_indexing(pages: DataFrame, staging_path: str,
                        checkpoint_path: str):
     """foreachBatch append into the staging table the chunked index build

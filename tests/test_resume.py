@@ -126,12 +126,17 @@ def test_snapshot_lineage_and_metrics(spark, small_index):
             == io.current_snapshot("postings")["snapshot_id"])
     ts = io.current_snapshot("term_stats")
     assert ts["metrics"]["vocab_size"] == small_index.vocab_size
-    # chunk manifests carry the input fingerprint
+    # row-count metrics ride every snapshot (footer-derived, no scan)
+    for table in ["doc_stats", "postings"]:
+        assert io.current_snapshot(table)["metrics"].get("rows", 0) > 0, \
+            table
+    # chunk manifests carry the input fingerprint + per-chunk row counts
     chunk_manifest = os.path.join(io.path("local_tf"), "chunk=0",
                                   "_MANIFEST.json")
     with open(chunk_manifest) as f:
         m = json.load(f)
     assert m["input_fingerprint"]
+    assert m["metrics"].get("rows", 0) > 0
 
 
 def test_term_bucket_partition_layout(spark, small_index):

@@ -70,3 +70,49 @@ def test_stream_staging_for_index(spark, stream_src, tmp_path):
     assert staged.count() == 330
     assert set(staged.columns) == {"doc_id", "url", "warc_ts", "html",
                                    "text", "lang"}
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: after draining a multi-batch
+    stream, per-user running totals equal the BATCH sessionization of the
+    same events (30-min gap rule) — a cross-engine consistency gate."""
+    from review_recommender_spark.streaming.ingest import sessionize_stream
+
+    events = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+              .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                      "event_id"))
+    # two time-ordered file batches so state genuinely carries across
+    # micro-batches
+    cut = events.agg(F.expr("percentile(unix_micros(ts), 0.5)")) \
+        .collect()[0][0]
+    src = tmp_path / "sess_src"
+    (events.filter(F.unix_micros("ts") <= cut).coalesce(1)
+     .write.parquet(str(src / "b1")))
+    (events.filter(F.unix_micros("ts") > cut).coalesce(1)
+     .write.parquet(str(src / "b2")))
+
+    schema = events.schema
+    stream = (spark.readStream.schema(schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    q = (sessionize_stream(stream).writeStream.format("memory")
+         .queryName("sess_out").outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck_sess")).start())
+    q.processAllAvailable()
+    q.stop()
+    # running totals are monotone; the final state per user is the max
+    got = {r["user_id"]: (r["ns"], r["ne"]) for r in spark.sql(
+        "SELECT user_id, max(n_sessions) ns, max(n_events) ne "
+        "FROM sess_out GROUP BY user_id").collect()}
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_sess = F.when(F.lag(us).over(w).isNull()
+                      | ((us - F.lag(us).over(w)) > 1800 * 1_000_000), 1) \
+        .otherwise(0)
+    exp = {r["user_id"]: (r["ns"], r["ne"]) for r in
+           (events.withColumn("s", new_sess).groupBy("user_id")
+            .agg(F.sum("s").alias("ns"), F.count("*").alias("ne"))
+            .collect())}
+    assert got == exp
