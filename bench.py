@@ -92,6 +92,28 @@ def main() -> None:
             extra["index_n_docs"] = n_docs
             extra["index_vocab"] = idx.vocab_size
 
+            def _du(path: str) -> int:
+                total = 0
+                for root, _dirs, files in os.walk(path):
+                    total += sum(os.path.getsize(os.path.join(root, f))
+                                 for f in files if not f.startswith("_"))
+                return total
+
+            # compression accounting (north star: delta+varint blocks):
+            # postings bytes per raw corpus byte and per posting
+            corpus_b = _du(corpus_path)
+            postings_b = _du(os.path.join(tmp, "idx", "postings"))
+            n_postings = sum(
+                r["n"] for r in
+                idx.postings(spark).groupBy().agg(
+                    F.sum("n").alias("n")).collect())
+            extra["corpus_bytes"] = corpus_b
+            extra["postings_bytes"] = postings_b
+            extra["postings_per_corpus_byte"] = round(
+                postings_b / max(corpus_b, 1), 4)
+            extra["bytes_per_posting"] = round(
+                postings_b / max(n_postings, 1), 3)
+
         if "bm25" in phases and idx is not None:
             from review_recommender_spark.query.bm25 import bm25_topk_served
             # warm index (cache postings/term_stats, build the doc-sharded
