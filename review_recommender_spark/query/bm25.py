@@ -63,20 +63,61 @@ def _term_stats_pruned(spark: SparkSession, index: InvertedIndex,
 
 def weights_df(spark: SparkSession, index: InvertedIndex,
                queries: list[str]) -> DataFrame:
-    """(query_id, term, weight=idf·qtf) for a batch of queries, resolved by
-    one join against the bucket-pruned term_stats scan (no collect)."""
+    """(query_id, term, weight=idf) for a batch of queries, resolved by
+    one join against the bucket-pruned term_stats scan (no collect).
+
+    NOTE the weight is the SINGLE-occurrence idf, not idf·qtf: per-doc
+    scores are assembled by folding over the query token SEQUENCE
+    (repeats included) in the exact float-addition order BM25Okapi uses —
+    see ``_fold_scores``. Multiplying by qtf up front is mathematically
+    equal but floating-point different, and last-ulp differences reorder
+    score-tied documents between execution paths (caught at 800k docs)."""
     rows = []
     for qi, q in enumerate(queries):
-        for term, n in _qtf(q).items():
-            rows.append((qi, term, n))
+        for term in _qtf(q):
+            rows.append((qi, term))
     if not rows:
         return spark.createDataFrame(
             [], "query_id int, term string, weight double")
-    qdf = spark.createDataFrame(rows, "query_id int, term string, qtf int")
-    stats = _term_stats_pruned(spark, index, sorted({t for _, t, _ in rows}))
+    qdf = spark.createDataFrame(rows, "query_id int, term string")
+    stats = _term_stats_pruned(spark, index, sorted({t for _, t in rows}))
     return (F.broadcast(qdf).join(stats, "term")
-            .select("query_id", "term",
-                    (F.col("idf") * F.col("qtf")).alias("weight")))
+            .select("query_id", "term", F.col("idf").alias("weight")))
+
+
+def query_term_idf(spark: SparkSession, index: InvertedIndex,
+                   query: str) -> dict[str, float]:
+    """Driver-side {term: idf} for the query's unique known terms (warm
+    idf cache when available, else a bucket-pruned lookup job)."""
+    qtf = _qtf(query)
+    if not qtf:
+        return {}
+    idf_map = index.idf_lookup()
+    if idf_map is not None:
+        return {t: idf_map[t] for t in qtf if t in idf_map}
+    rows = _term_stats_pruned(spark, index, sorted(qtf)) \
+        .select("term", "idf").collect()
+    return {r["term"]: r["idf"] for r in rows}
+
+
+def _fold_scores(partials: DataFrame, token_seq: list[str],
+                 keys: list[str]) -> DataFrame:
+    """Per-key score = LEFT FOLD over the query token sequence (repeats
+    included) of the per-(key, term) partials — the bit-exact float
+    addition order of BM25Okapi's ``get_scores`` (score += per token).
+    Spark's sum() aggregate adds in partition-arrival order, which is
+    nondeterministic; with mathematically-tied scores that noise reorders
+    the tie-break between runs and between execution paths. The fold is
+    pure JVM (map_from_entries + higher-order aggregate)."""
+    toks = F.array(*[F.lit(t) for t in token_seq])
+    g = partials.groupBy(*keys).agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "score")))
+        .alias("__pm"))
+    folded = F.aggregate(
+        toks, F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(F.element_at(F.col("__pm"), t),
+                                        F.lit(0.0)))
+    return g.select(*keys, folded.alias("score"))
 
 
 def query_term_weights(spark: SparkSession, index: InvertedIndex,
@@ -106,8 +147,11 @@ def _query_blocks(spark: SparkSession, index: InvertedIndex,
 
 def _score_weighted_blocks(joined: DataFrame, index: InvertedIndex,
                            with_query_id: bool) -> DataFrame:
-    """Decode + score posting blocks carrying a ``weight`` column (and
-    optionally ``query_id``) → per-posting partial scores."""
+    """Decode + score posting blocks carrying a ``weight`` (single-idf)
+    column (and optionally ``query_id``) → per-posting partial scores,
+    one row per (doc, term) with the term kept for the query-order fold.
+    The partial's float expression order matches BM25Okapi term-by-term:
+    idf · ((tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl)))."""
     k1, b = index.cfg.bm25.k1, index.cfg.bm25.b
     avgdl = index.avgdl
 
@@ -116,32 +160,34 @@ def _score_weighted_blocks(joined: DataFrame, index: InvertedIndex,
         for pdf in it:
             if not len(pdf):
                 continue
-            qids, docs, scores = [], [], []
+            qids, terms, docs, scores = [], [], [], []
             qcol = pdf["query_id"] if with_query_id else [0] * len(pdf)
-            for qid, wgt, n, db, tb, lb in zip(
-                    qcol, pdf["weight"], pdf["n"], pdf["doc_bytes"],
-                    pdf["tf_bytes"], pdf["dl_bytes"]):
+            for qid, term, wgt, n, db, tb, lb in zip(
+                    qcol, pdf["term"], pdf["weight"], pdf["n"],
+                    pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"]):
                 d, t, ln = decode_block(bytes(db), bytes(tb), bytes(lb),
                                         int(n))
                 tf = t.astype(np.float64)
                 denom = tf + k1 * (1 - b + b * ln.astype(np.float64) / avgdl)
                 s = wgt * (tf * (k1 + 1) / denom)
                 qids.append(np.full(len(d), qid, dtype=np.int32))
+                terms.extend([term] * len(d))
                 docs.append(d)
                 scores.append(s)
-            out = {"doc_id": np.concatenate(docs),
+            out = {"term": terms,
+                   "doc_id": np.concatenate(docs),
                    "score": np.concatenate(scores)}
             if with_query_id:
                 out = {"query_id": np.concatenate(qids), **out}
             yield pd.DataFrame(out)
 
-    schema = ("query_id int, " if with_query_id else "") + RESULT_SCHEMA
+    schema = (("query_id int, " if with_query_id else "")
+              + "term string, " + RESULT_SCHEMA)
     return joined.mapInPandas(score, schema=schema)
 
 
-def _topk(scored: DataFrame, k: int) -> DataFrame:
-    return (scored.groupBy("doc_id")
-            .agg(F.sum("score").alias("score"))
+def _topk(partials: DataFrame, token_seq: list[str], k: int) -> DataFrame:
+    return (_fold_scores(partials, token_seq, ["doc_id"])
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k))
 
@@ -156,7 +202,7 @@ def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query: str,
     blocks = _query_blocks(spark, index, sorted(qtf))
     joined = blocks.join(F.broadcast(w), "term")
     return _topk(_score_weighted_blocks(joined, index, with_query_id=False),
-                 k)
+                 tokenize_k2_py(query), k)
 
 
 def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
@@ -174,17 +220,19 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
     This is the scatter-gather layout real search clusters serve from
     (per-shard top-k + merge); rank-identical to ``bm25_topk_exact`` —
     every doc's full score is computed in exactly one shard, so the global
-    top-k is a subset of the union of local top-ks."""
-    weights = query_term_weights(spark, index, query)
-    if not weights:
+    top-k is a subset of the union of local top-ks, and per-doc scores are
+    accumulated in QUERY TOKEN ORDER (bit-identical to the exact path's
+    fold and to BM25Okapi — see ``_fold_scores``)."""
+    idf = query_term_idf(spark, index, query)
+    if not idf:
         return spark.createDataFrame([], RESULT_SCHEMA)
     k1, b = index.cfg.bm25.k1, index.cfg.bm25.b
     avgdl = index.avgdl
-    wmap = dict(weights)
+    token_seq = tokenize_k2_py(query)
 
     def local_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
-        docs_acc, score_acc = [], []
+        per_term: dict[str, list] = {}
         for pdf in it:
             for term, n, db, tb, lb in zip(
                     pdf["term"], pdf["n"], pdf["doc_bytes"],
@@ -193,24 +241,24 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
                                         int(n))
                 tf = t.astype(np.float64)
                 denom = tf + k1 * (1 - b + b * ln.astype(np.float64) / avgdl)
-                docs_acc.append(d)
-                score_acc.append(wmap[term] * (tf * (k1 + 1) / denom))
-        if not docs_acc:
+                per_term.setdefault(term, []).append(
+                    (d, idf[term] * (tf * (k1 + 1) / denom)))
+        if not per_term:
             return
-        d = np.concatenate(docs_acc)
-        s = np.concatenate(score_acc)
-        # deterministic per-doc sum: sort by doc_id, reduceat in id order
-        order = np.argsort(d, kind="stable")
-        d, s = d[order], s[order]
-        starts = np.flatnonzero(np.concatenate(
-            [[True], d[1:] != d[:-1]]))
-        doc_ids = d[starts]
-        totals = np.add.reduceat(s, starts)
-        top = np.lexsort((doc_ids, -totals))[:k]
-        yield pd.DataFrame({"doc_id": doc_ids[top], "score": totals[top]})
+        uniq = np.unique(np.concatenate(
+            [d for parts in per_term.values() for d, _ in parts]))
+        totals = np.zeros(len(uniq))
+        # accumulate in QUERY TOKEN order (repeats included) — skipping a
+        # doc a term doesn't match equals BM25Okapi's +0.0 bitwise
+        for tok in token_seq:
+            for d, s in per_term.get(tok, ()):
+                pos = np.searchsorted(uniq, d)
+                totals[pos] += s
+        top = np.lexsort((uniq, -totals))[:k]
+        yield pd.DataFrame({"doc_id": uniq[top], "score": totals[top]})
 
     blocks = index.serving_df(spark).filter(
-        F.col("term").isin(sorted(wmap)))
+        F.col("term").isin(sorted(idf)))
     local = blocks.mapInPandas(local_topk, schema=RESULT_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -282,10 +330,16 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
     to the exact single-action path when the query touches few ranges
     (pruning's extra jobs only pay off at scale — a head term at 10^12
     docs touches ~10^8 ranges)."""
-    weights = query_term_weights(spark, index, query)
-    if not weights:
+    idf = query_term_idf(spark, index, query)
+    if not idf:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    wdf = spark.createDataFrame(list(weights.items()),
+    qtf = _qtf(query)
+    token_seq = tokenize_k2_py(query)
+    # bounds use the FULL per-term weight (idf·qtf: a term's maximum total
+    # contribution incl. query multiplicity); scoring uses single-idf
+    # partials folded in query-token order (see _fold_scores)
+    weights = {t: idf[t] * qtf[t] for t in idf}
+    wdf = spark.createDataFrame(list(idf.items()),
                                 "term string, weight double")
     blocks = _query_blocks(spark, index, sorted(weights)).withColumn(
         "ub", _block_upper_bound_col(weights, index))
@@ -295,7 +349,8 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
     n_ranges = max(1, index.n_docs >> index.cfg.index.range_shift)
     if n_ranges < min_ranges_to_prune:
         joined = blocks.drop("ub").join(F.broadcast(wdf), "term")
-        return _topk(_score_weighted_blocks(joined, index, False), k)
+        return _topk(_score_weighted_blocks(joined, index, False),
+                     token_seq, k)
 
     # Per-range upper bound: Σ_t max over t's blocks in the range.
     range_bounds = (blocks.groupBy("range_id", "term")
@@ -312,14 +367,23 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
         seed_blocks = blocks.filter(F.col("range_id").isin(seed)) \
             .join(F.broadcast(wdf), "term")
         seed_scored = _topk(
-            _score_weighted_blocks(seed_blocks, index, False), k).collect()
+            _score_weighted_blocks(seed_blocks, index, False),
+            token_seq, k).collect()
         theta = (seed_scored[k - 1]["score"]
                  if len(seed_scored) >= k else float("-inf"))
 
-        # >= not >: a range whose bound EQUALS θ can hold a doc that ties
-        # the k-th seed score and wins on the doc_id asc tie-break
+        # ≥ with an ulp-scale slack, not >: a range/interval whose bound
+        # TIES θ can hold a doc that ties the k-th seed score and wins the
+        # doc_id asc tie-break — and the bound arithmetic (JVM SQL sum for
+        # ranges, numpy diff-array cumsum for intervals) rounds in a
+        # different order than the θ computation, so an exact tie can
+        # evaluate to θ−ε. Caught at 800k docs: a θ-tied doc lost blocks
+        # to the fine prune and surfaced with a partial score. Keeping
+        # ε-border ranges costs pruning, never correctness (survivors are
+        # scored exactly; sub-θ docs fall out in the final merge).
+        theta_eff = theta - 1e-9 * abs(theta) - 1e-12
         survivor_ranges = (range_bounds
-                           .filter((F.col("range_ub") >= theta)
+                           .filter((F.col("range_ub") >= theta_eff)
                                    & ~F.col("range_id").isin(seed)))
         rest_blocks = (blocks
                        .join(F.broadcast(survivor_ranges.select("range_id")),
@@ -329,11 +393,12 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
             # overlapping a doc interval whose summed per-term bound beats θ
             meta = rest_blocks.select("range_id", "term", "block_id",
                                       "first_doc_id", "last_doc_id", "ub")
-            keep = _fine_prune_keep(meta, theta)
+            keep = _fine_prune_keep(meta, theta_eff)
             rest_blocks = rest_blocks.join(
                 keep, ["range_id", "term", "block_id"], "left_semi")
         rest_blocks = rest_blocks.join(F.broadcast(wdf), "term")
-        rest = _topk(_score_weighted_blocks(rest_blocks, index, False), k)
+        rest = _topk(_score_weighted_blocks(rest_blocks, index, False),
+                     token_seq, k)
         seed_df = spark.createDataFrame(
             [(r["doc_id"], r["score"]) for r in seed_scored], RESULT_SCHEMA)
         return (seed_df.unionByName(rest)

@@ -188,9 +188,22 @@ def bm25_scores_batch(spark: SparkSession, index: InvertedIndex,
     wdf = weights_df(spark, index, queries)
     blocks = _query_blocks(spark, index, terms)
     joined = blocks.join(F.broadcast(wdf), "term")
-    return (_score_weighted_blocks(joined, index, with_query_id=True)
-            .groupBy("query_id", "doc_id")
-            .agg(F.sum("score").alias("_bm25_raw")))
+    partials = _score_weighted_blocks(joined, index, with_query_id=True)
+    # per-(query, doc) score: fold the query's token SEQUENCE over the
+    # per-term partials — BM25Okapi's exact float addition order (shared
+    # tie-determinism contract with bm25.py::_fold_scores)
+    tok_map = F.create_map(*[
+        x for qi, q in enumerate(queries)
+        for x in (F.lit(qi),
+                  F.array(*[F.lit(t) for t in tokenize_k2_py(q)]))])
+    g = partials.groupBy("query_id", "doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "score")))
+        .alias("__pm"))
+    folded = F.aggregate(
+        F.element_at(tok_map, F.col("query_id")), F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(F.element_at(F.col("__pm"), t),
+                                        F.lit(0.0)))
+    return g.select("query_id", "doc_id", folded.alias("_bm25_raw"))
 
 
 def hybrid_search_batch(spark: SparkSession, index: InvertedIndex,

@@ -19,8 +19,15 @@ def _plan(df, mode="formatted") -> str:
 
 def test_postings_scan_partition_pruned(spark, small_index):
     """Querying 2 terms must prune postings directories by term_bucket and
-    push the term filter into the parquet scan."""
-    blocks = _query_blocks(spark, small_index, ["wireless", "sound"])
+    push the term filter into the parquet scan. (Use an unwarmed view of
+    the index: a warm cache swaps the scan for InMemoryTableScan, which
+    has no partition filters — another test may have warmed the shared
+    fixture — and Spark's CacheManager substitutes cached plans by plan
+    equality, so the session cache must be cleared, not just our handle.)"""
+    import dataclasses
+    spark.catalog.clearCache()
+    cold = dataclasses.replace(small_index, _cached=None)
+    blocks = _query_blocks(spark, cold, ["wireless", "sound"])
     plan = _plan(blocks)
     assert "PartitionFilters" in plan
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)

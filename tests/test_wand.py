@@ -111,3 +111,33 @@ def test_fine_prune_keeps_exactly_hot_blocks(spark):
                 expected.add((range_id, r.term, r.block_id))
     assert got == expected
     assert 0 < len(got) < len(meta)  # pruning actually drops blocks
+
+
+def test_pruned_exact_ties_at_theta(spark, tmp_path):
+    """Hundreds of identical docs → the k-th seed score TIES the bound of
+    every other range. Rank-identity then depends on keeping θ-tied
+    ranges/intervals (≥ with ulp slack, not >) so tied docs are scored
+    exactly and the doc_id tie-break matches the exact path."""
+    import dataclasses
+
+    from review_recommender_spark.config import EngineConfig, bm25_north
+    from review_recommender_spark.index.build import build_index
+    from review_recommender_spark.index.tableio import TableIO
+
+    rows = [(i, "usb charging cable long quality product")
+            if i % 3 == 0 else
+            (i, f"filler{i} unrelated body text {i}")
+            for i in range(900)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = EngineConfig(bm25=bm25_north())
+    cfg = dataclasses.replace(
+        cfg, index=dataclasses.replace(cfg.index, range_shift=6,
+                                       term_buckets=8))
+    idx = build_index(spark, docs, TableIO(str(tmp_path / "ties")), cfg)
+    exact = bm25_topk_exact(spark, idx, "usb charging cable", k=10).collect()
+    pruned = bm25_topk_pruned(spark, idx, "usb charging cable", k=10,
+                              seed_ranges=1,
+                              min_ranges_to_prune=1).collect()
+    assert [r["doc_id"] for r in pruned] == [r["doc_id"] for r in exact]
+    np.testing.assert_allclose([r["score"] for r in pruned],
+                               [r["score"] for r in exact], rtol=1e-12)
