@@ -26,8 +26,7 @@ from review_recommender_spark.functions.tokenize import (k1_sql_duckdb,
 from review_recommender_spark.index.build import build_index, InvertedIndex
 from review_recommender_spark.index.codec import decode_block
 from review_recommender_spark.index.tableio import TableIO
-from review_recommender_spark.query.bm25 import (bm25_topk_exact,
-                                                 query_term_weights)
+from review_recommender_spark.query.bm25 import bm25_topk_exact
 from review_recommender_spark.ops import dedup as D
 from review_recommender_spark.ops import similarity as S
 from review_recommender_spark.ops import textstats as TS
