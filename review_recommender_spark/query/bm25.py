@@ -5,12 +5,13 @@ dense score for every document on every query — app/test.py:168-173, a scan
 the comment at :169 wrongly claims is candidates-only; SURVEY.md quirk Q2)
 with:
 
-  exact path   : ONE Spark action. The query's (term, weight=idf·qtf) rows
+  exact path   : ONE Spark action. The query's (term, weight=idf) rows
                  are resolved by a broadcast join against the
                  bucket-partitioned term_stats table inside the same plan,
                  joined onto the partition-pruned posting blocks
                  (directory pruning on term_bucket, row-group pruning on
-                 term), decoded+scored in Arrow batches, summed per doc,
+                 term), decoded+scored in Arrow batches, folded per doc in
+                 QUERY TOKEN ORDER (bit-deterministic — `_fold_scores`),
                  and TakeOrderedAndProject'ed. No separate metadata
                  round-trip per query.
 
