@@ -156,6 +156,12 @@ def main() -> None:
             extra["hybrid_rows"] = n
 
         if "sf" in phases and os.path.isdir(sf_dir):
+            # phase isolation: drop the 120k warm serving state + any
+            # cached hybrid intermediates so the small-build numbers
+            # measure the build, not leftover cache/GC pressure
+            if idx is not None:
+                idx.unwarm()
+            spark.catalog.clearCache()
             sf_docs = spark.read.parquet(os.path.join(sf_dir,
                                                       "documents.parquet"))
             t0 = time.perf_counter()

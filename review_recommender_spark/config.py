@@ -114,6 +114,13 @@ class IndexConfig:
     # frozen to the reference's exact Python regex semantics. A parity test
     # asserts both produce identical tokens on the test corpora.
     tokenizer_impl: str = "jvm"
+    # Driver-side pyarrow shortcuts in the index build (corpus scalars from
+    # footer/column reads instead of a Spark agg job) are used only while
+    # the pulled column stays comfortably driver-sized. ~10M rows ≈ 80 MB
+    # of int64 — safe on any driver; beyond that the Spark-agg fallback
+    # runs (tests/test_build_stats.py asserts both paths agree).
+    driver_pull_max_docs: int = 10_000_000
+    driver_pull_max_terms: int = 10_000_000
 
 
 @dataclass(frozen=True)

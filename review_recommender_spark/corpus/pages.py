@@ -113,11 +113,13 @@ N_DISTRACTOR = 3
 
 
 def distractor_doc_offsets(query_idx: int, family: int) -> list[int]:
-    """Hard-negative plants that make the golden eval discriminative:
-    family 0 = ONE query term spammed with high tf in a short doc (fools a
-    tf-linear dense encoder); family 1 = all-but-one query terms (fools
-    pure term-overlap BM25). Offsets are shifted away from every query's
-    relevant offsets (asserted disjoint in tests/test_golden_eval.py)."""
+    """Hard-negative plants that make the golden eval discriminative —
+    both families plant ALL-BUT-ONE query terms, differing in document
+    shape: family 0 = short truncated doc (×8 — near-ceiling cosine AND a
+    high short-dl BM25 score); family 1 = longer doc at higher tf (×10 —
+    inflates dl-normalized BM25 more than L2-normalized cosine). Offsets
+    are shifted away from every query's relevant offsets (asserted
+    disjoint in tests/test_golden_eval.py)."""
     return [(13 + query_idx * 89 + j * 101 + 419 + family * 211)
             % PLANT_PERIOD for j in range(N_DISTRACTOR)]
 
@@ -161,9 +163,10 @@ def pages_pdf(doc_ids: np.ndarray) -> pd.DataFrame:
     # plant saturates every method at nDCG 1.0):
     #   relevant   : every query word scattered 2-3×, PREPENDED (inside
     #                the rerank/gate text caps)
-    #   family 0   : one query term spammed ×16 in a shortened doc — high
-    #                cosine for a tf-linear encoder, saturated tf for BM25
-    #   family 1   : all-but-one query words ×3 — strong partial BM25 match
+    #   family 0   : all-but-one query terms ×8 in a short truncated doc —
+    #                near-ceiling cosine AND high short-dl BM25
+    #   family 1   : all-but-one query terms ×10 in a longer doc — inflates
+    #                dl-normalized BM25 more than L2-normalized cosine
     mod = doc_ids % PLANT_PERIOD
     rel_offsets = {off for qj in range(len(GOLDEN_PHRASES))
                    for off in planted_doc_offsets(qj)}

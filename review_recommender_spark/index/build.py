@@ -267,6 +267,17 @@ class InvertedIndex:
             cached["_idf"] = idf
         return self
 
+    def unwarm(self) -> None:
+        """Release every warm cache (postings/term_stats/serving layout +
+        driver idf map). Call when a serving session ends so the executor
+        memory returns to the pool — e.g. between bench phases, where a
+        lingering 120k-doc serving layout would distort later timings."""
+        if self._cached:
+            for df in self._cached.values():
+                if hasattr(df, "unpersist"):
+                    df.unpersist()
+        object.__setattr__(self, "_cached", None)
+
     def serving_df(self, spark: SparkSession) -> DataFrame:
         if not (self._cached and "_serving" in self._cached):
             self.warm(spark)
@@ -368,9 +379,11 @@ def build_index(spark: SparkSession, docs: DataFrame | str, io: TableIO,
     # corpus scalars WITHOUT a Spark job: n_docs from parquet footers
     # (metadata-only at any scale); total_tokens via a driver-side pyarrow
     # column read while doc_stats is driver-sized, else one Spark agg.
-    from .tableio import parquet_row_count
-    n_docs = parquet_row_count(io.path(DOC_STATS))
-    if n_docs <= 100_000_000:
+    # STRICT footer read: n_docs drives idf and avgdl, so a footer-read
+    # failure must raise, not silently yield 0 (→ garbage idf, avgdl=0).
+    from .tableio import parquet_row_count_strict
+    n_docs = parquet_row_count_strict(io.path(DOC_STATS))
+    if n_docs <= cfg.index.driver_pull_max_docs:
         import pyarrow.dataset as pa_ds
         tbl = pa_ds.dataset(io.path(DOC_STATS), format="parquet") \
             .to_table(columns=["doc_len"])
@@ -438,7 +451,7 @@ def build_index(spark: SparkSession, docs: DataFrame | str, io: TableIO,
                           partitioning="hive")
     vocab_size = sum(f.metadata.num_rows
                      for f in ts_ds.get_fragments())
-    if vocab_size <= 50_000_000:
+    if vocab_size <= cfg.index.driver_pull_max_terms:
         idf_raw_col = ts_ds.to_table(columns=["idf_raw"])["idf_raw"]
         avg_idf = float(np.mean(idf_raw_col.to_numpy())) if vocab_size else 0.0
     else:

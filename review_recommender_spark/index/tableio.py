@@ -35,14 +35,22 @@ def _config_hash(obj: Any) -> str:
         json.dumps(obj, sort_keys=True, default=str).encode()).hexdigest()[:16]
 
 
-def parquet_row_count(path: str) -> int:
+def parquet_row_count_strict(path: str) -> int:
     """Row count from parquet footers — metadata-only, no data scan, any
-    scale (the 'row-count metrics alongside each snapshot' the north rule
-    asks for, at zero job cost)."""
+    scale. RAISES on unreadable/missing paths: callers that feed the count
+    into correctness-critical math (n_docs → idf/avgdl in the index build)
+    must fail loudly rather than silently compute with 0."""
     import pyarrow.dataset as pa_ds
+    ds = pa_ds.dataset(path, format="parquet", partitioning="hive")
+    return sum(f.metadata.num_rows for f in ds.get_fragments())
+
+
+def parquet_row_count(path: str) -> int:
+    """Lenient variant for snapshot METRICS only (a missing/empty dir is a
+    legitimate 0-row table there). Never use for values that drive scoring
+    math — use ``parquet_row_count_strict``."""
     try:
-        ds = pa_ds.dataset(path, format="parquet", partitioning="hive")
-        return sum(f.metadata.num_rows for f in ds.get_fragments())
+        return parquet_row_count_strict(path)
     except Exception:  # noqa: BLE001 — missing/empty dir
         return 0
 

@@ -30,13 +30,19 @@ def tfidf_top_terms(df: DataFrame, group_col: str, tokens_col: str,
     exploded = df.select(F.col(group_col).alias("grp"),
                          F.explode(tokens_col).alias("term"))
     tf = exploded.groupBy("grp", "term").agg(F.count("*").alias("tf"))
-    n_groups = exploded.select("grp").distinct().count()
+    # n_groups rides the SAME action as a broadcast scalar subquery (no
+    # separate .distinct().count() job); derived from tf (one row per
+    # (grp, term)) so it shares tf's shuffle output instead of re-scanning
+    n_groups = F.broadcast(
+        tf.select(F.countDistinct("grp").alias("__ng")))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_groups"))
     scored = (tf.join(dfreq, "term")
+              .crossJoin(n_groups)
               .withColumn("tfidf",
                           F.round(F.col("tf")
-                                  * F.log(F.lit(float(n_groups))
-                                          / F.col("df_groups")), 6)))
+                                  * F.log(F.col("__ng").cast("double")
+                                          / F.col("df_groups")), 6))
+              .drop("__ng"))
     w = Window.partitionBy("grp").orderBy(F.desc("tfidf"), F.asc("term"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_n)

@@ -41,9 +41,19 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
     per-user running sessionization with the same gap rule as the batch
     ``q_sessionize`` entry (new session when > gap since the previous
     event). State per user = (last event time, session count, event
-    count); each micro-batch emits the user's updated running totals, so
-    after a full drain the counts equal the batch computation on the same
-    data (asserted cross-engine in tests/test_streaming.py).
+    count); each micro-batch emits the user's updated running totals.
+
+    Ordering contract: events are sorted by time WITHIN each micro-batch
+    only. When the feed delivers micro-batches in event-time order (file
+    sources over time-partitioned data, or any at-least-once log replayed
+    in order), a full drain equals the batch computation on the same data
+    (asserted cross-engine in tests/test_streaming.py under exactly that
+    feed). A late event that lands in a later micro-batch than a newer one
+    is counted in arrival order — it can open a spurious session (and a
+    negative gap never decrements ``last_us``). Feeds without cross-batch
+    time order need a watermark + event-time buffer upstream of this
+    operator; the streaming-vs-batch equality claim does NOT extend to
+    them.
 
     State is O(1) per user — three longs — so 10^9 users is ~24 GB of
     state across the fleet, well inside the state store's envelope."""
