@@ -329,14 +329,20 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: IVF ANN — k-means coarse quantizer, only the nprobe
-    nearest clusters scanned per probe (recall ≥0.9 gate in pytest;
-    the scale path for the hybrid dense pool, dense_mode='ivf')."""
+    """Rows-only: IVF ANN via the PERSISTED index path (build-once
+    ``ivf_build`` → partition-pruned ``ivf_topk``; no quantizer fit at
+    query time — recall ≥0.9 + no-fit gates in pytest; the scale path
+    for the hybrid dense pool, dense_mode='ivf')."""
+    import tempfile
+
+    from review_recommender_spark.index.tableio import TableIO
     emb = _load(spark, sf_dir, "embeddings")
     probes = (emb.filter(F.col("vec_id").isin(0, 1, 2))
               .select(F.col("vec_id").alias("probe_id"),
                       F.col("embedding").alias("probe_vec")))
-    return (S.ivf_cosine_topk(emb, probes, k=5, n_clusters=8, nprobe=4)
+    ivf = S.ivf_build(emb, TableIO(tempfile.mkdtemp(prefix="rrs_ivf_")),
+                      n_clusters=8)
+    return (S.ivf_topk(spark, ivf, probes, k=5, nprobe=4)
             .select("probe_id", "vec_id", "cosine", "rank"))
 
 

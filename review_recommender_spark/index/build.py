@@ -267,6 +267,13 @@ class InvertedIndex:
             cached["_idf"] = idf
         return self
 
+    def is_warm(self) -> bool:
+        """True when the doc-sharded serving layout + driver idf cache are
+        resident (``warm`` ran) — query paths can then skip the term_stats
+        join and shuffle-free their BM25 stage."""
+        return bool(self._cached and "_serving" in self._cached
+                    and "_idf" in self._cached)
+
     def unwarm(self) -> None:
         """Release every warm cache (postings/term_stats/serving layout +
         driver idf map). Call when a serving session ends so the executor

@@ -18,11 +18,17 @@ matching buckets, trading recall.
 
 from __future__ import annotations
 
+import os
+from dataclasses import dataclass
+
 import numpy as np
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SEED = 42
+
+IVF_ASSIGNMENTS = "ivf_assignments"
+IVF_CENTROIDS = "ivf_centroids"
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -103,6 +109,129 @@ def ivf_index(vectors: DataFrame, id_col: str = "vec_id",
     return assigned, centroids
 
 
+@dataclass
+class IvfIndex:
+    """Handle to a PERSISTED IVF index: the assignments table written
+    PARTITIONED BY ``ivf_cluster`` (directory-level pruning: a probe
+    batch's scan touches only its nprobe clusters' files) plus the
+    driver/broadcast-sized centroid matrix. Build once with ``ivf_build``,
+    reload with ``IvfIndex.load`` — query time never refits the coarse
+    quantizer (the reference's dense index is likewise built once,
+    nlp/11_build_product_embeddings.py:82-90, and only loaded at query
+    time, app/test.py:134-145)."""
+
+    io: "object"  # TableIO (kept untyped to avoid a circular import)
+    id_col: str
+    vec_col: str
+    n_clusters: int
+    centroids: np.ndarray  # (n_clusters, dim) float64
+
+    def probe_clusters(self, vec: np.ndarray, nprobe: int) -> list[int]:
+        """Driver-side nearest-centroid selection for one probe vector —
+        a (n_clusters × dim) matmul, no Spark job."""
+        cn = self.centroids / np.maximum(
+            np.linalg.norm(self.centroids, axis=1, keepdims=True), 1e-12)
+        v = np.asarray(vec, dtype=np.float64)
+        v = v / max(float(np.linalg.norm(v)), 1e-12)
+        return [int(c) for c in np.argsort(-(cn @ v))[:nprobe]]
+
+    def assignments(self, spark: SparkSession,
+                    clusters: list[int] | None = None) -> DataFrame:
+        """The persisted assignments table; with ``clusters`` the scan is
+        partition-pruned to those directories (static pruning — literal
+        IN filter on the partition column, gated in tests/test_ops.py)."""
+        df = self.io.read(spark, IVF_ASSIGNMENTS)
+        if clusters is not None:
+            df = df.filter(F.col("ivf_cluster").isin(sorted(set(clusters))))
+        return df
+
+    @classmethod
+    def load(cls, spark: SparkSession, io) -> "IvfIndex":
+        import pyarrow.parquet as pq
+        tbl = pq.read_table(os.path.join(io.path(IVF_CENTROIDS),
+                                         "centroids.parquet"))
+        order = np.argsort(tbl["cluster_id"].to_numpy())
+        cents = np.stack([np.asarray(tbl["centroid"][int(i)].as_py(),
+                                     dtype=np.float64) for i in order])
+        meta = io.current_snapshot(IVF_CENTROIDS)["metrics"]
+        return cls(io=io, id_col=meta["id_col"], vec_col=meta["vec_col"],
+                   n_clusters=len(cents), centroids=cents)
+
+
+def ivf_build(vectors: DataFrame, io, id_col: str = "vec_id",
+              vec_col: str = "embedding", n_clusters: int = 16,
+              seed: int = SEED) -> IvfIndex:
+    """Offline build-once path: fit the coarse quantizer, persist the
+    assignments PARTITIONED BY ivf_cluster (+ snapshot lineage/metrics)
+    and the centroid matrix as a tiny driver-written parquet."""
+    assigned, centroids = ivf_index(vectors, id_col, vec_col, n_clusters,
+                                    seed)
+    io.write(assigned.select(id_col, vec_col, "ivf_cluster"),
+             IVF_ASSIGNMENTS, partition_by=["ivf_cluster"],
+             lineage={"op": "ivf_build", "seed": seed,
+                      "n_clusters": n_clusters},
+             metrics={"n_clusters": n_clusters})
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(io.path(IVF_CENTROIDS), exist_ok=True)
+    pq.write_table(
+        pa.table({"cluster_id": list(range(n_clusters)),
+                  "centroid": [list(map(float, c)) for c in centroids]}),
+        os.path.join(io.path(IVF_CENTROIDS), "centroids.parquet"))
+    io.commit_snapshot(
+        IVF_CENTROIDS,
+        lineage={"parent": io.current_snapshot(IVF_ASSIGNMENTS)
+                 ["snapshot_id"]},
+        metrics={"n_clusters": n_clusters, "id_col": id_col,
+                 "vec_col": vec_col})
+    return IvfIndex(io=io, id_col=id_col, vec_col=vec_col,
+                    n_clusters=n_clusters, centroids=centroids)
+
+
+def _probe_cluster_df(probes: DataFrame, probe_id_col: str,
+                      probe_vec_col: str, cluster_of) -> DataFrame:
+    """(probe_id, ivf_cluster, probe_vec) rows, one per (probe, cluster),
+    PRESERVING the caller's probe id / vector column types (a hardcoded
+    'probe_id int' schema would fail or silently narrow long ids).
+    Returns (DataFrame, sorted distinct cluster ids) — the cluster list is
+    computed driver-side for free, no extra Spark job."""
+    from pyspark.sql import types as T
+    spark = probes.sparkSession
+    fields = {f.name: f for f in probes.schema.fields}
+    schema = T.StructType([
+        fields[probe_id_col],
+        T.StructField("ivf_cluster", T.IntegerType(), False),
+        fields[probe_vec_col],
+    ])
+    rows = []
+    for r in probes.select(probe_id_col, probe_vec_col).collect():
+        for c in cluster_of(r[probe_vec_col]):
+            rows.append((r[probe_id_col], int(c), list(r[probe_vec_col])))
+    clusters = sorted({c for _, c, _ in rows})
+    return spark.createDataFrame(rows, schema), clusters
+
+
+def ivf_topk(spark: SparkSession, ivf: IvfIndex, probes: DataFrame,
+             probe_id_col: str = "probe_id",
+             probe_vec_col: str = "probe_vec",
+             k: int = 10, nprobe: int = 4) -> DataFrame:
+    """Query the PERSISTED IVF index: driver-side nearest-centroid
+    selection (no Spark job, no KMeans fit), then exact cosine over a
+    partition-pruned scan of only the probe batch's nprobe clusters."""
+    pc, clusters = _probe_cluster_df(probes, probe_id_col, probe_vec_col,
+                                     lambda v: ivf.probe_clusters(v, nprobe))
+    cand = ivf.assignments(spark, clusters).join(F.broadcast(pc),
+                                                 "ivf_cluster")
+    scored = cand.select(
+        probe_id_col, F.col(ivf.id_col),
+        F.round(cosine_col(F.col(ivf.vec_col), F.col(probe_vec_col)), 6)
+        .alias("cosine"))
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("cosine"),
+                                                 F.asc(ivf.id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def ivf_cosine_topk(vectors: DataFrame, probes: DataFrame,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     probe_id_col: str = "probe_id",
@@ -110,28 +239,23 @@ def ivf_cosine_topk(vectors: DataFrame, probes: DataFrame,
                     k: int = 10, n_clusters: int = 16, nprobe: int = 4,
                     assigned: DataFrame | None = None,
                     centroids: np.ndarray | None = None) -> DataFrame:
-    """Approximate top-k via IVF: each probe scans only its ``nprobe``
-    nearest clusters (exact cosine within). The probe batch is
-    driver-sized by contract (a query batch), so nearest-cluster
-    selection is a tiny driver-side matmul against the centroid matrix —
-    no extra Spark job. Recall vs brute force is pytest-gated ≥ 0.9
-    (tests/test_ops.py)."""
+    """Ad-hoc (un-persisted) IVF top-k: fits the quantizer when not given
+    one. TEST/EXPLORATION ONLY — the production path is ``ivf_build`` +
+    ``ivf_topk`` (build once, persist partitioned, prune at query time);
+    calling this per query batch refits KMeans over the whole table."""
     if assigned is None or centroids is None:
         assigned, centroids = ivf_index(vectors, id_col, vec_col,
                                         n_clusters)
     cn = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
-    spark = probes.sparkSession
-    rows = []
-    for r in probes.select(probe_id_col, probe_vec_col).collect():
-        v = np.asarray(r[probe_vec_col], dtype=np.float64)
+
+    def cluster_of(vec) -> list[int]:
+        v = np.asarray(vec, dtype=np.float64)
         v = v / max(float(np.linalg.norm(v)), 1e-12)
-        top = np.argsort(-(cn @ v))[:nprobe]
-        for c in top:
-            rows.append((r[probe_id_col], int(c), list(r[probe_vec_col])))
-    pc = spark.createDataFrame(
-        rows, f"{probe_id_col} int, ivf_cluster int, "
-              f"{probe_vec_col} array<float>")
+        return [int(c) for c in np.argsort(-(cn @ v))[:nprobe]]
+
+    pc, _ = _probe_cluster_df(probes, probe_id_col, probe_vec_col,
+                              cluster_of)
     cand = assigned.join(F.broadcast(pc), "ivf_cluster")
     scored = cand.select(
         probe_id_col, id_col,

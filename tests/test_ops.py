@@ -2,6 +2,8 @@
 MinHash ≈ Jaccard, LSH recall vs brute force, simhash python-parity,
 multimodal plumbing, html extraction."""
 
+import re
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -159,56 +161,171 @@ def test_lang_id_votes(spark):
     assert out[0] == "en" and out[1] == "es" and out[2] == "und"
 
 
-def test_ivf_recall_vs_brute_force(spark, small_pages):
-    """IVF ANN (16 clusters, nprobe 8 → ~50% of the corpus scanned) must
-    hold mean recall ≥ 0.9 against the exact scan for top-20 pools (the
-    KMeans quantizer is seed-deterministic but partitioning-sensitive, so
-    the per-query floor is gated at 0.8)."""
+def test_ivf_persisted_recall_and_no_query_time_fit(spark, small_pages,
+                                                    tmp_path, monkeypatch):
+    """PERSISTED IVF path (ivf_build → IvfIndex.load → ivf_topk): mean
+    recall ≥ 0.9 vs the exact scan for top-20 pools (per-query floor 0.8 —
+    the KMeans quantizer is seed-deterministic but partitioning-
+    sensitive), the query-time scan is PARTITION-PRUNED to the probe
+    batch's nprobe clusters, and NO KMeans fit happens at query time."""
+    from review_recommender_spark.index.tableio import TableIO
     from review_recommender_spark.ops.similarity import (
-        brute_force_cosine_topk, ivf_cosine_topk)
+        IvfIndex, brute_force_cosine_topk, ivf_build, ivf_topk)
     from review_recommender_spark.query.encoder import (embed_documents,
                                                         encode_text)
+    from tests.test_plans import _plan
+
     emb = (embed_documents(small_pages.select("doc_id", "text"))
            .select(F.col("doc_id").alias("vec_id"), "embedding").cache())
     emb.count()
+    io = TableIO(str(tmp_path / "ivf"))
+    built = ivf_build(emb, io, n_clusters=16)
+    emb.unpersist()
+    # reload from disk — query path must not depend on the build's session
+    # state (centroids + id/vec col names come from the snapshot manifest)
+    ivf = IvfIndex.load(spark, io)
+    assert ivf.n_clusters == 16 and ivf.id_col == "vec_id"
+    assert np.allclose(ivf.centroids, built.centroids)
+
+    # no KMeans fit at query time: poison the fit seam for the whole query
+    import pyspark.ml.clustering as pmc
+    monkeypatch.setattr(
+        pmc.KMeans, "fit",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("KMeans.fit called at query time")))
+
     queries = ["wireless bluetooth headphones", "yellow cat socks",
                "organic green tea", "usb charging cable long"]
     probes = spark.createDataFrame(
         [(qi, encode_text(q).tolist()) for qi, q in enumerate(queries)],
         "probe_id int, probe_vec array<float>")
-    exact = brute_force_cosine_topk(emb, probes, k=20).toPandas()
-    approx = ivf_cosine_topk(emb, probes, k=20, n_clusters=16,
-                             nprobe=8).toPandas()
+    exact = brute_force_cosine_topk(
+        spark.read.parquet(io.path("ivf_assignments"))
+        .select("vec_id", "embedding"), probes, k=20).toPandas()
+    res = ivf_topk(spark, ivf, probes, k=20, nprobe=8)
+    approx = res.toPandas()
+
+    # partition pruning gate: the assignments scan carries a literal
+    # ivf_cluster filter that prunes directories (≤ nprobe·Q of 16)
+    plan = _plan(res)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_cluster" in m.group(1), plan
+    pruned_clusters = ivf.probe_clusters(
+        encode_text(queries[0]), nprobe=8)
+    one_probe = ivf.assignments(spark, pruned_clusters)
+    got_clusters = {r["ivf_cluster"]
+                    for r in one_probe.select("ivf_cluster")
+                    .distinct().collect()}
+    assert got_clusters <= set(pruned_clusters)
+    assert len(got_clusters) < ivf.n_clusters  # strictly pruned
+
     recalls = []
     for pid in range(len(queries)):
         e = set(exact[exact["probe_id"] == pid]["vec_id"])
         a = set(approx[approx["probe_id"] == pid]["vec_id"])
         recalls.append(len(e & a) / len(e))
-    emb.unpersist()
     assert float(np.mean(recalls)) >= 0.9, recalls
     assert min(recalls) >= 0.8, recalls
 
 
-def test_hybrid_dense_mode_ivf(spark, small_pages, small_index):
-    """hybrid_search_batch(dense_mode='ivf') returns well-formed results
-    whose top-k substantially overlaps the exact-scan pipeline."""
+def test_ivf_probe_id_type_preserved(spark, small_pages, tmp_path):
+    """Probe ids keep their caller type through the IVF path (round-2
+    ADVICE: a hardcoded 'probe_id int' schema broke long ids)."""
+    from review_recommender_spark.index.tableio import TableIO
+    from review_recommender_spark.ops.similarity import ivf_build, ivf_topk
+    from review_recommender_spark.query.encoder import (embed_documents,
+                                                        encode_text)
+    emb = (embed_documents(small_pages.select("doc_id", "text").limit(200))
+           .select(F.col("doc_id").alias("vec_id"), "embedding"))
+    io = TableIO(str(tmp_path / "ivf"))
+    ivf = ivf_build(emb, io, n_clusters=4)
+    big_id = 5_000_000_000  # beyond int32
+    probes = spark.createDataFrame(
+        [(big_id, encode_text("wireless headphones").tolist())],
+        "probe_id long, probe_vec array<float>")
+    out = ivf_topk(spark, ivf, probes, k=5, nprobe=2).toPandas()
+    assert len(out) == 5
+    assert set(out["probe_id"]) == {big_id}
+
+
+def test_hybrid_dense_mode_ivf(spark, small_pages, small_index, tmp_path,
+                               monkeypatch):
+    """hybrid_search_batch(dense_mode='ivf') consumes the PERSISTED index
+    (no quantizer fit at query time) and its top-k substantially overlaps
+    the exact-scan pipeline; without an IvfIndex the mode refuses."""
     from review_recommender_spark.corpus.pages import page_meta_cols
+    from review_recommender_spark.index.tableio import TableIO
+    from review_recommender_spark.ops.similarity import ivf_build
     from review_recommender_spark.query.encoder import embed_documents
     from review_recommender_spark.query.search import hybrid_search_batch
     emb = (embed_documents(small_pages.select("doc_id", "text"))
            .select("doc_id", "embedding").cache())
     emb.count()
+    ivf = ivf_build(emb, TableIO(str(tmp_path / "ivf")), id_col="doc_id",
+                    n_clusters=16)
     meta = (small_pages.select("doc_id", F.col("text").alias("agg_text"))
             .join(page_meta_cols(small_pages.select("doc_id")), "doc_id"))
     queries = ["wireless bluetooth headphones"]
     exact = hybrid_search_batch(spark, small_index, emb, meta, queries,
                                 k=10).toPandas()
-    ivf = hybrid_search_batch(spark, small_index, emb, meta, queries,
-                              k=10, dense_mode="ivf").toPandas()
+
+    import pyspark.ml.clustering as pmc
+    monkeypatch.setattr(
+        pmc.KMeans, "fit",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("KMeans.fit called at query time")))
+    with pytest.raises(ValueError, match="ivf_build"):
+        hybrid_search_batch(spark, small_index, emb, meta, queries,
+                            k=10, dense_mode="ivf")
+    ivf_res = hybrid_search_batch(spark, small_index, emb, meta, queries,
+                                  k=10, dense_mode="ivf",
+                                  ivf=ivf).toPandas()
     emb.unpersist()
-    assert len(ivf) == 10
-    overlap = len(set(exact["doc_id"]) & set(ivf["doc_id"])) / 10
-    assert overlap >= 0.7, (overlap, sorted(ivf["doc_id"]))
+    assert len(ivf_res) == 10
+    overlap = len(set(exact["doc_id"]) & set(ivf_res["doc_id"])) / 10
+    assert overlap >= 0.7, (overlap, sorted(ivf_res["doc_id"]))
+
+
+def test_hybrid_served_bm25_parity(spark, small_pages, small_index):
+    """hybrid_search_batch routes its BM25 stage through the zero-shuffle
+    serving layout when the index is warm; results must be BIT-IDENTICAL
+    to the cold (posting-join) path — same docs, ranks, and scores."""
+    import dataclasses
+
+    from review_recommender_spark.corpus.pages import page_meta_cols
+    from review_recommender_spark.query.encoder import embed_documents
+    from review_recommender_spark.query.search import hybrid_search_batch
+
+    emb = (embed_documents(small_pages.select("doc_id", "text"))
+           .select("doc_id", "embedding").cache())
+    emb.count()
+    meta = (small_pages.select("doc_id", F.col("text").alias("agg_text"))
+            .join(page_meta_cols(small_pages.select("doc_id")), "doc_id"))
+    queries = ["wireless bluetooth headphones", "yellow cat socks"]
+
+    spark.catalog.clearCache()
+    cold_idx = dataclasses.replace(small_index, _cached=None)
+    assert not cold_idx.is_warm()
+    cold = (hybrid_search_batch(spark, cold_idx, emb, meta, queries, k=10)
+            .toPandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True))
+
+    warm_idx = dataclasses.replace(small_index, _cached=None)
+    warm_idx.warm(spark)
+    assert warm_idx.is_warm()
+    try:
+        warm = (hybrid_search_batch(spark, warm_idx, emb, meta, queries,
+                                    k=10)
+                .toPandas().sort_values(["query_id", "rank"])
+                .reset_index(drop=True))
+    finally:
+        warm_idx.unwarm()
+        emb.unpersist()
+        spark.catalog.clearCache()
+
+    assert list(cold["doc_id"]) == list(warm["doc_id"])
+    for col in ["_final", "_bm25", "_dense", "_rerank", "_prior", "_gate"]:
+        assert (cold[col].to_numpy() == warm[col].to_numpy()).all(), col
 
 
 def test_embed_model_seam_lazy_singleton_and_batching(spark, small_pages,
