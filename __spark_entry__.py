@@ -318,13 +318,24 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("probe_id", "vec_id", "cosine", "rank"))
 
 
+LSH_ANN_PLANES = 30
+LSH_ANN_BANDS = 10
+
+
 def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: LSH-bucketed ANN (recall vs brute force tested in pytest)."""
+    """LSH-bucketed ANN, SQL-oracled: the seeded hyperplanes are emitted
+    as SQL literal constants (like minhash params), so DuckDB recomputes
+    the band signatures, bucket join, and exact rescoring. Tuned to mean
+    recall ≥0.9 vs brute force (pytest gate); on this near-random
+    synthetic embedding table that recall costs ~75% candidate fraction —
+    the honest LSH floor for unstructured vectors (see ops/similarity.py
+    docstring; IVF is the production pruning path)."""
     emb = _load(spark, sf_dir, "embeddings")
     probes = (emb.filter(F.col("vec_id").isin(0, 1, 2))
               .select(F.col("vec_id").alias("probe_id"),
                       F.col("embedding").alias("probe_vec")))
-    return (S.lsh_cosine_topk(emb, probes, k=5, dim=64)
+    return (S.lsh_cosine_topk(emb, probes, k=5, dim=64,
+                              n_planes=LSH_ANN_PLANES, bands=LSH_ANN_BANDS)
             .select("probe_id", "vec_id", "cosine", "rank"))
 
 
@@ -356,10 +367,11 @@ def q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: binary → fixed-dim feature plumbing (deterministic fake
+    """Binary → fixed-dim feature plumbing (deterministic float64 fake
     kernel; real decode is stubbed — see ops/multimodal.py). Emitted as
-    (doc_id, dim, value) rows — scalar columns the driver can sort/hash
-    (an array<float> column crashes its canonicalization)."""
+    (doc_id, dim, value) rows — scalar columns the driver can sort/hash.
+    SQL-oracled: DuckDB recomputes chunk-mean features from hex(blob)
+    bytes with the same exact integer-sum/len + L2-normalize arithmetic."""
     d = (_load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
          .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload")))
     feats = MM.image_feature_frame(d, "doc_id", "payload", dim=16)
@@ -692,6 +704,54 @@ FROM sigs a JOIN sigs b ON a.mh_id < b.mh_id
 WHERE {band_conds}"""
 
 
+def _lsh_ann_sql(n_planes: int, bands: int, k: int, dim: int = 64) -> str:
+    """SQL twin of ``S.lsh_cosine_topk``: the seed-deterministic
+    hyperplanes become literal (plane, idx, coef) VALUES rows; band
+    signatures, the any-band bucket join, and double-precision exact
+    rescoring are then plain SQL. Spark's fold and SQL's sum add the 64
+    double products in different orders, so a dot within ~1ulp of zero
+    could flip a signature bit — negligible for O(1)-magnitude dots."""
+    planes = S.hyperplanes(dim, n_planes)
+    per_band = n_planes // bands
+    vals = ", ".join(
+        f"({p}, {i + 1}, {float(planes[p, i])!r})"
+        for p in range(n_planes) for i in range(dim))
+    return f"""
+WITH planes_t(p, i, c) AS (VALUES {vals}),
+ev AS (SELECT vec_id, embedding::double[] AS e FROM embeddings),
+dots AS (
+  SELECT v.vec_id, pl.p, sum(v.e[pl.i] * pl.c) AS dot
+  FROM ev v CROSS JOIN planes_t pl
+  GROUP BY v.vec_id, pl.p),
+sigs AS (
+  SELECT vec_id, p // {per_band} AS band,
+         sum(CASE WHEN dot > 0 THEN (1 << (p % {per_band})) ELSE 0 END)
+         AS sig
+  FROM dots GROUP BY vec_id, p // {per_band}),
+cand AS (
+  SELECT DISTINCT pr.vec_id AS probe_id, v.vec_id
+  FROM sigs v JOIN sigs pr ON v.band = pr.band AND v.sig = pr.sig
+  WHERE pr.vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT c.probe_id, c.vec_id,
+         round(
+           (SELECT sum(x * y) FROM (SELECT unnest(e.embedding::double[]) AS x,
+                                           unnest(p.embedding::double[]) AS y))
+           / greatest(
+               sqrt((SELECT sum(x * x)
+                     FROM (SELECT unnest(e.embedding::double[]) AS x)))
+               * sqrt((SELECT sum(y * y)
+                       FROM (SELECT unnest(p.embedding::double[]) AS y))),
+               1e-12), 6) AS cosine
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings p ON p.vec_id = c.probe_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                  ORDER BY cosine DESC, vec_id) AS rank
+           FROM scored)
+SELECT probe_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}"""
+
+
 def _minhash_sql(k: int, max_id: int) -> str:
     params = D.minhash_params(k)
     aggs = ", ".join(
@@ -912,11 +972,47 @@ ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
                    ORDER BY cosine DESC, vec_id) AS rank
            FROM scored)
 SELECT probe_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""",
+        "sim_lsh_ann": _lsh_ann_sql(LSH_ANN_PLANES, LSH_ANN_BANDS, 5),
         "mm_media_meta": """
 SELECT doc_id, 'text/plain' AS media_type,
        octet_length(encode(text)) AS n_bytes,
        ('0x' || substr(md5(text), 1, 8))::bigint AS checksum
 FROM documents WHERE doc_id < 200""",
+        # chunk-mean feature kernel recomputed from utf-8 bytes (hex(blob)
+        # → per-byte ints). Chunk boundaries follow np.array_split: first
+        # (l % dim) chunks get (l // dim + 1) bytes, the rest (l // dim);
+        # means are exact integer-sum/len float64 divisions; the L2 norm's
+        # sum-of-squares differs from numpy's pairwise order only at ~1ulp,
+        # absorbed by round-6.
+        "mm_image_features": """
+WITH src AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS l
+  FROM documents WHERE doc_id < 100),
+bytes AS (
+  SELECT doc_id, i, ('0x' || substr(hx, 2 * i + 1, 2))::int AS b,
+         l // 16 AS base, l % 16 AS rem
+  FROM src, unnest(generate_series(0, l - 1)) AS t(i)),
+chunked AS (
+  SELECT doc_id,
+         CASE WHEN i < rem * (base + 1) THEN i // (base + 1)
+              ELSE rem + (i - rem * (base + 1)) // base END AS dim,
+         b
+  FROM bytes),
+feats AS (
+  SELECT doc_id, dim, sum(b)::double / count(*) AS feat
+  FROM chunked GROUP BY doc_id, dim),
+allfeats AS (
+  SELECT s.doc_id, d.dim, coalesce(f.feat, 0.0) AS feat
+  FROM src s
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS dim) d
+  LEFT JOIN feats f ON f.doc_id = s.doc_id AND f.dim = d.dim),
+norms AS (SELECT doc_id, sqrt(sum(feat * feat)) AS nrm
+          FROM allfeats GROUP BY doc_id)
+SELECT a.doc_id, a.dim,
+       round(CASE WHEN n.nrm > 0 THEN a.feat / n.nrm ELSE a.feat END, 6)
+       AS value
+FROM allfeats a JOIN norms n USING (doc_id)""",
         "docbuild_products": """
 WITH reviews AS (
   SELECT event_id::varchar AS id, user_id::varchar AS sku, ts,

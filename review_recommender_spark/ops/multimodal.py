@@ -63,14 +63,18 @@ def decode_image_stub(payload: bytes) -> np.ndarray:
 
 def fake_image_features(payload: bytes | None, dim: int = 16) -> np.ndarray:
     """Deterministic stand-in feature vector derived from payload bytes —
-    exercises the real batch/schema path without codec libraries."""
+    exercises the real batch/schema path without codec libraries. Float64
+    throughout: chunk means are exact integer-sum/len divisions and the
+    L2 norm is a float64 sqrt-of-sum-of-squares, so the whole computation
+    is SQL-expressible and oracle-verified (entry ``mm_image_features`` —
+    DuckDB recomputes it from hex(blob) bytes; round-6 values hash-match)."""
     if not payload:
-        return np.zeros(dim, dtype=np.float32)
+        return np.zeros(dim, dtype=np.float64)
     arr = np.frombuffer(payload, dtype=np.uint8)
     chunks = np.array_split(arr.astype(np.float64), dim)
     feats = np.array([c.mean() if len(c) else 0.0 for c in chunks])
     n = np.linalg.norm(feats)
-    return (feats / n if n > 0 else feats).astype(np.float32)
+    return feats / n if n > 0 else feats
 
 
 def media_metadata(df: DataFrame, id_col: str = "doc_id",
@@ -115,4 +119,5 @@ def image_feature_frame(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame({"doc_id": pdf[id_col], "features": feats})
 
     return (df.select(id_col, bin_col)
-            .mapInPandas(batches, schema="doc_id long, features array<float>"))
+            .mapInPandas(batches,
+                         schema="doc_id long, features array<double>"))

@@ -275,7 +275,15 @@ def lsh_cosine_topk(vectors: DataFrame, probes: DataFrame,
                     n_planes: int = 12, bands: int = 3) -> DataFrame:
     """Approximate top-k: hyperplane-signature bands bucket candidates,
     exact cosine rescoring within buckets. bands ≥ 2 gives multi-probe
-    recall (a candidate matches if ANY band agrees)."""
+    recall (a candidate matches if ANY band agrees).
+
+    Recall/pruning honesty: on UNSTRUCTURED (near-random) vectors — like
+    the synthetic test embeddings — neighbors sit near the hyperplane
+    discrimination floor, so mean recall ≥ 0.9 (the pytest gate at
+    30 planes / 10 bands) costs ~75% candidate fraction. Real embedding
+    spaces are clustered and prune far better at the same recall; when
+    they don't, the IVF path (``ivf_build``/``ivf_topk``) is the
+    production pruning structure."""
     planes = hyperplanes(dim, n_planes)
     per_band = n_planes // bands
     band_planes = [planes[b * per_band:(b + 1) * per_band]

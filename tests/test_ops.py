@@ -64,18 +64,23 @@ def test_minhash_lsh_finds_planted_duplicates(spark, docs_df):
 
 
 def test_lsh_ann_recall_vs_bruteforce(spark, emb_df):
+    """Production-tuned LSH (30 planes / 10 bands, the entry's settings)
+    must hold mean recall ≥ 0.9 vs the exact scan. On this near-random
+    synthetic table that recall costs ~75% candidate fraction — the
+    honest hyperplane-LSH floor for unstructured vectors (IVF is the
+    production pruning path, gated separately)."""
     probes = (emb_df.filter(F.col("vec_id") < 5)
               .select(F.col("vec_id").alias("probe_id"),
                       F.col("embedding").alias("probe_vec")))
     exact = S.brute_force_cosine_topk(emb_df, probes, k=10).toPandas()
     approx = S.lsh_cosine_topk(emb_df, probes, k=10, dim=64,
-                               n_planes=12, bands=4).toPandas()
+                               n_planes=30, bands=10).toPandas()
     recalls = []
     for pid in range(5):
         e = set(exact[exact["probe_id"] == pid]["vec_id"])
         a = set(approx[approx["probe_id"] == pid]["vec_id"])
         recalls.append(len(e & a) / len(e))
-    assert float(np.mean(recalls)) >= 0.5, recalls
+    assert float(np.mean(recalls)) >= 0.9, recalls
     # the probe itself (cosine 1.0) must always survive bucketing
     for pid in range(5):
         assert pid in set(approx[approx["probe_id"] == pid]["vec_id"])
