@@ -72,6 +72,85 @@ def test_stream_staging_for_index(spark, stream_src, tmp_path):
                                    "text", "lang"}
 
 
+def test_stream_to_index_roundtrip_with_kills(spark, tmp_path):
+    """End-to-end composition a real user runs: a page stream staged via
+    ``stage_for_indexing`` — KILLED mid-stream and restarted from its
+    checkpoint — feeds a chunked ``build_index(path, n_chunks=3,
+    resume=True)`` that is itself KILLED mid-build and resumed. The final
+    index must equal a one-shot batch build over the same pages
+    byte-for-byte (postings blocks + term stats)."""
+    import numpy as np
+
+    from review_recommender_spark.config import EngineConfig, bm25_north
+    from review_recommender_spark.index.build import (
+        LOCAL_TF, LOCAL_TF_FORMAT_VERSION, _file_chunk_groups, _tf_rows,
+        _tokens_df, build_index)
+    from review_recommender_spark.index.tableio import (ChunkedWriter,
+                                                        TableIO,
+                                                        config_fingerprint)
+    import dataclasses
+
+    cfg = EngineConfig(bm25=bm25_north())
+    cfg = dataclasses.replace(
+        cfg, index=dataclasses.replace(cfg.index, range_shift=6,
+                                       term_buckets=8))
+
+    pdf = pages_pdf(np.arange(600))
+    pages = spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+    src = tmp_path / "rt_src"
+    for lo, hi, name in [(0, 200, "b1"), (200, 400, "b2"), (400, 600, "b3")]:
+        (spark.createDataFrame(pdf.iloc[lo:hi], schema=PAGES_SCHEMA)
+         .coalesce(1).write.parquet(str(src / name)))
+
+    staging = str(tmp_path / "rt_staging")
+    ck = str(tmp_path / "rt_ck")
+    schema = spark.read.parquet(str(src / "b1")).schema
+
+    def stream():
+        s = (spark.readStream.schema(schema)
+             .option("recursiveFileLookup", "true")
+             .option("maxFilesPerTrigger", "1").parquet(str(src)))
+        return stage_for_indexing(s, staging, ck).start()
+
+    # run once, drain, stop — then "kill & restart": a second start from
+    # the same checkpoint must not duplicate epochs (idempotent staging)
+    q = stream()
+    q.awaitTermination(120)
+    q = stream()  # restart: no new files → no new epochs
+    q.awaitTermination(60)
+    staged = spark.read.option("recursiveFileLookup", "true") \
+        .parquet(staging)
+    assert staged.count() == 600
+
+    # mid-build kill: pre-complete only chunk 0 (exactly what a killed
+    # chunked build leaves behind), then resume over the remaining chunks
+    groups, digest = _file_chunk_groups(staging, 3)
+    fp = config_fingerprint(
+        format_version=LOCAL_TF_FORMAT_VERSION, tokenizer="simple_en_v1",
+        cap=cfg.index.token_cap, block=cfg.index.block_size,
+        shift=cfg.index.range_shift, n_chunks=3, files=digest)
+    io_s = TableIO(str(tmp_path / "rt_idx_stream"))
+    writer = ChunkedWriter(io=io_s, name=LOCAL_TF, n_chunks=3,
+                           input_fingerprint=fp)
+    chunk0 = spark.read.schema(staged.schema).parquet(*groups[0])
+    writer.write_chunk(
+        _tf_rows(_tokens_df(chunk0, cfg, "doc_id", "text"),
+                 cfg.index.token_cap), 0)
+    assert writer.pending_chunks() == [1, 2]
+    idx_stream = build_index(spark, staging, io_s, cfg, n_chunks=3,
+                             resume=True)
+    assert writer.pending_chunks() == []
+
+    idx_batch = build_index(spark, pages,
+                            TableIO(str(tmp_path / "rt_idx_batch")), cfg,
+                            n_chunks=1)
+    from tests.test_resume import _collect_index
+    assert _collect_index(spark, idx_stream) == _collect_index(spark,
+                                                               idx_batch)
+    assert (idx_stream.n_docs, idx_stream.avgdl, idx_stream.vocab_size) \
+        == (idx_batch.n_docs, idx_batch.avgdl, idx_batch.vocab_size)
+
+
 def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     """applyInPandasWithState sessionizer: after draining a multi-batch
     stream, per-user running totals equal the BATCH sessionization of the
