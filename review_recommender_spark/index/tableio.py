@@ -63,7 +63,11 @@ class TableIO:
         return os.path.join(self.root, name)
 
     def _snapshot_dir(self, name: str) -> str:
-        return os.path.join(self.root, name, "_snapshots")
+        # manifests live BESIDE the data directory, not inside it: a
+        # mode=overwrite data write replaces the whole table dir, and
+        # manifests inside it would lose the snapshot history (caught by
+        # tests/test_snapshots.py::test_snapshot_chain_order)
+        return os.path.join(self.root, "_snapshots", name)
 
     def write(self, df: DataFrame, name: str, *, mode: str = "overwrite",
               partition_by: list[str] | None = None,
@@ -110,6 +114,60 @@ class TableIO:
 
     def exists(self, name: str) -> bool:
         return os.path.exists(self.path(name))
+
+    def snapshots(self, name: str) -> list[dict[str, Any]]:
+        """All snapshot manifests for a table, oldest→newest by commit
+        order (parent-chain walk from the current snapshot)."""
+        cur = self.current_snapshot(name)
+        by_id: dict[str, dict[str, Any]] = {}
+        snap_dir = self._snapshot_dir(name)
+        if os.path.isdir(snap_dir):
+            for fn in os.listdir(snap_dir):
+                if fn.startswith("_") or not fn.endswith(".json"):
+                    continue
+                with open(os.path.join(snap_dir, fn)) as f:
+                    m = json.load(f)
+                by_id[m["snapshot_id"]] = m
+        chain: list[dict[str, Any]] = []
+        seen: set[str] = set()
+        while cur and cur["snapshot_id"] not in seen:
+            seen.add(cur["snapshot_id"])
+            chain.append(cur)
+            parent = cur.get("parent_snapshot_id")
+            cur = by_id.get(parent) if parent else None
+        return list(reversed(chain))
+
+    def expire_snapshots(self, name: str, keep_last: int = 10) -> int:
+        """Manifest hygiene (the snapshot-expiry half of Iceberg's
+        ``expireSnapshots``): drop manifest files older than the newest
+        ``keep_last`` on the current chain, re-rooting the oldest kept
+        manifest (parent → None). Data files are untouched — each write
+        here replaces its table directory, so there are no orphaned data
+        files to vacuum; on real Iceberg the runtime's expire handles
+        both. Returns the number of manifests removed."""
+        chain = self.snapshots(name)
+        keep = {m["snapshot_id"] for m in chain[-keep_last:]} \
+            if keep_last > 0 else set()
+        snap_dir = self._snapshot_dir(name)
+        removed = 0
+        if not os.path.isdir(snap_dir):
+            return 0
+        for fn in os.listdir(snap_dir):
+            if fn.startswith("_") or not fn.endswith(".json"):
+                continue
+            sid = fn[:-len(".json")]
+            if sid not in keep:
+                os.remove(os.path.join(snap_dir, fn))
+                removed += 1
+        if chain[-keep_last:]:
+            oldest = chain[-keep_last:][0]
+            if oldest.get("parent_snapshot_id") is not None:
+                oldest = {**oldest, "parent_snapshot_id": None}
+                with open(os.path.join(snap_dir,
+                                       f"{oldest['snapshot_id']}.json"),
+                          "w") as f:
+                    json.dump(oldest, f, indent=2)
+        return removed
 
 
 @dataclass
