@@ -344,15 +344,16 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ivf_build`` → partition-pruned ``ivf_topk``; no quantizer fit at
     query time — recall ≥0.9 + no-fit gates in pytest; the scale path
     for the hybrid dense pool, dense_mode='ivf')."""
-    import tempfile
-
     from review_recommender_spark.index.tableio import TableIO
     emb = _load(spark, sf_dir, "embeddings")
     probes = (emb.filter(F.col("vec_id").isin(0, 1, 2))
               .select(F.col("vec_id").alias("probe_id"),
                       F.col("embedding").alias("probe_vec")))
-    ivf = S.ivf_build(emb, TableIO(tempfile.mkdtemp(prefix="rrs_ivf_")),
-                      n_clusters=8)
+    ikey = sf_dir + "::ivf"
+    if ikey not in _EMB_CACHE:
+        _EMB_CACHE[ikey] = S.ivf_build(
+            emb, TableIO(tempfile.mkdtemp(prefix="rrs_ivf_")), n_clusters=8)
+    ivf = _EMB_CACHE[ikey]
     return (S.ivf_topk(spark, ivf, probes, k=5, nprobe=4)
             .select("probe_id", "vec_id", "cosine", "rank"))
 
