@@ -118,3 +118,31 @@ def test_head_term_skew_bounded(spark):
 
     solo = partition_counts(tfp.repartition(32, "term"))
     assert solo.max() > 2 * np.median(solo), solo.tolist()
+
+
+def test_served_bm25_stage_is_shuffle_free(spark, small_index):
+    """The warm serving layout's whole point: a served BM25 batch stage is
+    ONE map stage over the cached shards — its physical plan must contain
+    no shuffle exchange (only the reuse of the cached layout) and no
+    join."""
+    import dataclasses
+
+    from review_recommender_spark.query.search import bm25_scores_batch_served
+
+    spark.catalog.clearCache()
+    idx = dataclasses.replace(small_index, _cached=None)
+    idx.warm(spark)
+    try:
+        df = bm25_scores_batch_served(spark, idx,
+                                      ["wireless sound", "yellow cat"])
+        plan = _plan(df)
+        # the warm layout itself was built with one repartition; the query
+        # plan on top must add NO exchange and NO join. InMemoryTableScan
+        # reads the cached shards; everything above it is mapInPandas.
+        above_cache = plan.split("InMemoryTableScan")[0]
+        assert "Exchange" not in above_cache, plan
+        assert "Join" not in above_cache, plan
+        assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+    finally:
+        idx.unwarm()
+        spark.catalog.clearCache()
