@@ -4,6 +4,11 @@ Phases (all on local[$SPARK_GRAFT_CPUS], default 32):
   1. index_build  — distributed inverted-index build over a deterministic
                     synthetic page corpus ($SPARK_GRAFT_BENCH_DOCS docs,
                     default 120k) → docs/sec (the north-rule headline).
+                    An UNTIMED 5k-doc warmup build runs first (reported
+                    as jit_warmup_build): it absorbs one-time JVM codegen
+                    JIT + Python-worker spawn so the timed number
+                    measures the steady state a long-running build
+                    actually operates in.
   2. bm25 queries — block-max-pruned BM25 top-10 per golden query on the
                     warm index → per-query seconds, p50/p95.
   3. hybrid       — embedding build + batched hybrid search (dense + BM25 +
@@ -82,6 +87,16 @@ def main() -> None:
                 .write.mode("overwrite").parquet(corpus_path)
             timings["corpus_gen"] = round(time.perf_counter() - t0, 3)
             docs = spark.read.parquet(corpus_path)
+            # untimed warmup build (5k docs): the first build in a fresh
+            # JVM pays ~5-10s of whole-stage-codegen JIT + Python-worker
+            # spawn — process-startup cost, not index work. A 100-TB build
+            # amortizes it to nothing; at bench scale it would be ~40% of
+            # the measurement. Reported separately for transparency.
+            t0 = time.perf_counter()
+            build_index(spark, docs.limit(5000),
+                        TableIO(os.path.join(tmp, "warmidx")), cfg,
+                        n_chunks=1)
+            timings["jit_warmup_build"] = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
             idx = build_index(spark, docs, TableIO(os.path.join(tmp, "idx")),
                               cfg, n_chunks=1,

@@ -60,8 +60,9 @@ from .tableio import ChunkedWriter, TableIO, config_fingerprint
 
 LOCAL_TF = "local_tf"
 # bump when the local_tf checkpoint schema changes — stale checkpoints from
-# an older format must not be resumed (v2 = occurrence rows, no tf column)
-LOCAL_TF_FORMAT_VERSION = 2
+# an older format must not be resumed (v2 = occurrence rows, no tf column;
+# v3 = partitioned by is_sentinel for directory-pruned stage B/C reads)
+LOCAL_TF_FORMAT_VERSION = 3
 DOC_STATS = "doc_stats"
 CORPUS_STATS = "corpus_stats"
 TERM_STATS = "term_stats"
@@ -83,6 +84,11 @@ def term_bucket_col(col, n_buckets: int):
 def _tf_rows(tokens_df: DataFrame, cap: int) -> DataFrame:
     """(doc_id, toks) → one row per token OCCURRENCE (doc_id, dl, term),
     plus a per-doc sentinel row (term=NULL) carrying the doc length.
+    ``is_sentinel`` (0/1) is emitted as a separate int column because the
+    checkpoint table is PARTITIONED on it: Stage B's doc_stats read and
+    Stage C's occurrences read then prune at the DIRECTORY level instead
+    of scanning and filtering each other's rows (plan-gated in
+    tests/test_plans.py).
 
     Pure JVM (whole-stage codegen, no Python worker): counting (doc, term)
     pairs is deferred to the encode kernel, where consecutive equal doc_ids
@@ -95,7 +101,9 @@ def _tf_rows(tokens_df: DataFrame, cap: int) -> DataFrame:
         "doc_id",
         F.size("toks").cast("int").alias("dl"),
         F.explode(F.concat(F.array(F.lit(None).cast("string")),
-                           F.col("toks"))).alias("term"))
+                           F.col("toks"))).alias("term"),
+    ).withColumn("is_sentinel",
+                 F.when(F.col("term").isNull(), 1).otherwise(0))
 
 
 def _tokens_df(docs: DataFrame, cfg: EngineConfig, doc_id_col: str,
@@ -371,14 +379,17 @@ def build_index(spark: SparkSession, docs: DataFrame | str, io: TableIO,
                 F.pmod(F.col(doc_id_col), F.lit(n_chunks)) == i)
         tf_df = _tf_rows(_tokens_df(chunk, cfg, doc_id_col, text_col),
                          cfg.index.token_cap)
-        writer.write_chunk(tf_df, i)
+        writer.write_chunk(tf_df, i, partition_by=["is_sentinel"])
     writer.finalize(lineage={"stage": "A", "source": "docs"},
                     metrics={})
 
     local_tf = io.read(spark, LOCAL_TF)
 
     # ---- Stage B: doc_stats + corpus scalars (map-only + tiny agg) ----
-    sentinels = local_tf.filter(F.col("term").isNull())
+    # is_sentinel is the checkpoint's PARTITION column, so this read
+    # touches only the (tiny) sentinel directories — ~1/avgdl of the
+    # checkpoint's rows — instead of scanning and filtering everything
+    sentinels = local_tf.filter(F.col("is_sentinel") == 1)
     doc_stats = sentinels.select("doc_id", F.col("dl").alias("doc_len"))
     io.write(doc_stats, DOC_STATS,
              lineage={"parent": io.current_snapshot(LOCAL_TF)["snapshot_id"]},
@@ -403,7 +414,10 @@ def build_index(spark: SparkSession, docs: DataFrame | str, io: TableIO,
     # ---- Stage C: the (term, range) shuffle → encoded posting blocks ----
     if shuffle_partitions is None:
         shuffle_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    tfp = (local_tf.filter(F.col("term").isNotNull())
+    # partition-pruned to the occurrence directories (sentinels skipped at
+    # the directory level, not row-filtered)
+    tfp = (local_tf.filter(F.col("is_sentinel") == 0)
+           .select("doc_id", "dl", "term")
            .withColumn("range_id",
                        F.shiftright(F.col("doc_id"), cfg.index.range_shift)))
     encoded = (tfp.repartition(shuffle_partitions, "term", "range_id")

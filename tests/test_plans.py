@@ -146,3 +146,29 @@ def test_served_bm25_stage_is_shuffle_free(spark, small_index):
     finally:
         idx.unwarm()
         spark.catalog.clearCache()
+
+
+def test_local_tf_sentinel_reads_are_partition_pruned(spark, small_pages,
+                                                      tmp_path):
+    """The Stage A checkpoint is partitioned by is_sentinel, so the
+    doc_stats read (sentinels only) and the Stage C occurrences read
+    (sentinels excluded) must both prune at the directory level rather
+    than row-filter each other's data."""
+    import dataclasses
+
+    from review_recommender_spark.config import EngineConfig, bm25_north
+    from review_recommender_spark.index.build import build_index
+    from review_recommender_spark.index.tableio import TableIO
+
+    cfg = EngineConfig(bm25=bm25_north())
+    cfg = dataclasses.replace(
+        cfg, index=dataclasses.replace(cfg.index, range_shift=6,
+                                       term_buckets=8))
+    io = TableIO(str(tmp_path / "idx"))
+    build_index(spark, small_pages.limit(200), io, cfg)
+    local_tf = io.read(spark, "local_tf")
+    for val in (0, 1):
+        df = local_tf.filter(F.col("is_sentinel") == val)
+        plan = _plan(df)
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "is_sentinel" in m.group(1), plan

@@ -53,7 +53,8 @@ def test_resume_skips_completed_chunks_and_matches(spark, small_pages,
         chunk = small_pages.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i)
         writer.write_chunk(
             _tf_rows(_tokens_df(chunk, cfg, "doc_id", "text"),
-                     cfg.index.token_cap), i)
+                     cfg.index.token_cap), i,
+            partition_by=["is_sentinel"])
     assert writer.pending_chunks() == [1, 3]
 
     # resume: build_index must only run the missing chunks, then finish

@@ -135,7 +135,8 @@ def test_stream_to_index_roundtrip_with_kills(spark, tmp_path):
     chunk0 = spark.read.schema(staged.schema).parquet(*groups[0])
     writer.write_chunk(
         _tf_rows(_tokens_df(chunk0, cfg, "doc_id", "text"),
-                 cfg.index.token_cap), 0)
+                 cfg.index.token_cap), 0,
+        partition_by=["is_sentinel"])
     assert writer.pending_chunks() == [1, 2]
     idx_stream = build_index(spark, staging, io_s, cfg, n_chunks=3,
                              resume=True)
