@@ -67,6 +67,22 @@ def main() -> None:
     n_docs_wide = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS_WIDE",
                                      "400000"))
     pairs = [(1, 4, n_docs), (2, 8, n_docs_wide), (8, 32, n_docs_wide)]
+    # SPARK_GRAFT_SCALING_PAIRS=primary reruns only the gate pair (1→4),
+    # REUSING the last run's wide-pair results from BENCH/BASELINE.md's
+    # raw JSON — for iterating on the volatile primary measurement
+    # without paying ~8 min of silicon-capped secondary evidence.
+    primary_only = (os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "all")
+                    == "primary")
+    reuse: dict[int, dict] = {}
+    if primary_only:
+        out_path0 = os.path.join(REPO, "BENCH", "BASELINE.md")
+        if os.path.exists(out_path0):
+            for line in open(out_path0):
+                line = line.strip()
+                if line.startswith('{"metric"'):
+                    d = json.loads(line)
+                    if d["cpus"] in (2, 8, 32):
+                        reuse[d["cpus"]] = d
 
     print("calibrating hardware (pinned busy loops)...", flush=True)
     widths = sorted({c for lo, hi, _ in pairs for c in (lo, hi)})
@@ -101,6 +117,11 @@ def main() -> None:
     for lo, hi, nd in pairs:
         for cores in (lo, hi):
             if cores in results:
+                continue
+            if primary_only and cores in reuse:
+                results[cores] = reuse[cores]
+                print(f"reusing prior {cores}-core wide-pair result",
+                      flush=True)
                 continue
             print(f"bench taskset {cores} cores @ {nd} docs (rep 1/1)...",
                   flush=True)
