@@ -1,0 +1,108 @@
+"""At-scale rank-identity sweep: all golden queries through every BM25
+query path on one large corpus, asserting BITWISE-identical top-k.
+
+Paths: exact (single-action posting join), pruned (forced block-max),
+served (doc-sharded single query), served-batch (the zero-shuffle batch
+stage hybrid uses — new in round 3). The r2 evidence tied exact ≡ the
+BM25Okapi-formula numpy oracle at 800k docs; this script ties every
+engine path to exact at the same scale, so the whole family stays
+anchored to the oracle.
+
+Usage: python scripts/at_scale_identity.py [n_docs] (default 800000)
+Prints one JSON line: {"n_docs":..., "paths":..., "bitwise_ok":...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    if shm:
+        os.environ.setdefault("SPARK_LOCAL_DIRS",
+                              os.path.join(shm, "rrs_id_local"))
+
+    from pyspark.sql import functions as F
+
+    from review_recommender_spark.config import EngineConfig, bm25_north
+    from review_recommender_spark.corpus.pages import GOLDEN_PHRASES, pages_df
+    from review_recommender_spark.index.build import build_index
+    from review_recommender_spark.index.tableio import TableIO
+    from review_recommender_spark.query.bm25 import (bm25_topk_exact,
+                                                     bm25_topk_pruned,
+                                                     bm25_topk_served)
+    from review_recommender_spark.query.search import bm25_scores_batch_served
+    from review_recommender_spark.session import get_spark
+
+    spark = get_spark("at-scale-id", cores=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    tmp = tempfile.mkdtemp(prefix="rrs_id_", dir=shm)
+    k = 10
+    try:
+        corpus = os.path.join(tmp, "corpus")
+        pages_df(spark, n_docs, partitions=max(32, cpus * 2)) \
+            .write.mode("overwrite").parquet(corpus)
+        docs = spark.read.parquet(corpus)
+        cfg = EngineConfig(bm25=bm25_north())
+        idx = build_index(spark, docs, TableIO(os.path.join(tmp, "idx")),
+                          cfg, shuffle_partitions=max(32, cpus * 2))
+        idx.warm(spark)
+
+        # served-batch: one stage for all queries; per-query top-k via the
+        # same (score desc, doc_id asc) order as the single-query paths
+        batch = bm25_scores_batch_served(spark, idx, list(GOLDEN_PHRASES))
+        batch_top = {}
+        for qi in range(len(GOLDEN_PHRASES)):
+            rows = (batch.filter(F.col("query_id") == qi)
+                    .orderBy(F.desc("_bm25_raw"), F.asc("doc_id"))
+                    .limit(k).collect())
+            batch_top[qi] = [(r["doc_id"], r["_bm25_raw"]) for r in rows]
+
+        ok = True
+        per_query = []
+        for qi, q in enumerate(GOLDEN_PHRASES):
+            exact = [(r["doc_id"], r["score"]) for r in
+                     bm25_topk_exact(spark, idx, q, k=k).collect()]
+            pruned = [(r["doc_id"], r["score"]) for r in
+                      bm25_topk_pruned(spark, idx, q, k=k,
+                                       min_ranges_to_prune=1).collect()]
+            served = [(r["doc_id"], r["score"]) for r in
+                      bm25_topk_served(spark, idx, q, k=k).collect()]
+            same = (exact == pruned == served == batch_top[qi])
+            per_query.append(same)
+            ok &= same
+            print(f"q{qi}: {'BITWISE-IDENTICAL' if same else 'MISMATCH'}",
+                  flush=True)
+            if not same:
+                print("  exact :", exact)
+                print("  pruned:", pruned)
+                print("  served:", served)
+                print("  batch :", batch_top[qi])
+        print(json.dumps({
+            "n_docs": n_docs,
+            "paths": ["exact", "pruned", "served", "served_batch"],
+            "queries": len(GOLDEN_PHRASES),
+            "bitwise_identical": sum(per_query),
+            "bitwise_ok": ok,
+        }))
+        sys.exit(0 if ok else 1)
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+        local_dirs = os.environ.get("SPARK_LOCAL_DIRS", "")
+        if local_dirs.startswith("/dev/shm/"):
+            shutil.rmtree(local_dirs, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
