@@ -166,8 +166,13 @@ def ivf_build(vectors: DataFrame, io, id_col: str = "vec_id",
     and the centroid matrix as a tiny driver-written parquet."""
     assigned, centroids = ivf_index(vectors, id_col, vec_col, n_clusters,
                                     seed)
-    io.write(assigned.select(id_col, vec_col, "ivf_cluster"),
-             IVF_ASSIGNMENTS, partition_by=["ivf_cluster"],
+    # co-locate each cluster on one writer task BEFORE partitionBy —
+    # otherwise every write task opens a file in every cluster dir
+    # (tasks × clusters small files; measured 13× slower probe reads).
+    # Same pattern as the postings term_bucket write (index/build.py).
+    assigned = assigned.select(id_col, vec_col, "ivf_cluster") \
+        .repartition(n_clusters, "ivf_cluster")
+    io.write(assigned, IVF_ASSIGNMENTS, partition_by=["ivf_cluster"],
              lineage={"op": "ivf_build", "seed": seed,
                       "n_clusters": n_clusters},
              metrics={"n_clusters": n_clusters})
@@ -211,21 +216,58 @@ def _probe_cluster_df(probes: DataFrame, probe_id_col: str,
     return spark.createDataFrame(rows, schema), clusters
 
 
+def _rowwise_cosine_arrow(cand: DataFrame, probe_id_col: str, id_col: str,
+                          vec_col: str, probe_vec_col: str) -> DataFrame:
+    """Row-wise cosine of two list<float> columns as a mapInArrow kernel:
+    both columns' flat buffers reshape to (n, d) float64 matrices and an
+    einsum computes every dot in one vectorized pass — the same batch
+    shape as the exact dense scan, ~an order of magnitude faster than a
+    per-element JVM fold expression. Matches ``cosine_col`` to float64
+    rounding (identical widening, clamped norms), then round-6."""
+    import pyarrow as pa
+
+    src = cand.select(probe_id_col, id_col, vec_col, probe_vec_col)
+
+    def score(it):
+        for batch in it:
+            n = batch.num_rows
+            if not n:
+                continue
+            v = batch.column(2).flatten().to_numpy(zero_copy_only=False)
+            p = batch.column(3).flatten().to_numpy(zero_copy_only=False)
+            v = v.reshape(n, -1).astype(np.float64)
+            p = p.reshape(n, -1).astype(np.float64)
+            dots = np.einsum("nd,nd->n", v, p)
+            nv = np.linalg.norm(v, axis=1)
+            npr = np.linalg.norm(p, axis=1)
+            cos = np.round(dots / np.maximum(nv * npr, 1e-12), 6)
+            yield pa.record_batch(
+                [batch.column(0), batch.column(1),
+                 pa.array(cos, type=pa.float64())],
+                names=[batch.schema.names[0], batch.schema.names[1],
+                       "cosine"])
+
+    fields = {f.name: f.dataType.simpleString() for f in src.schema.fields}
+    schema = (f"{probe_id_col} {fields[probe_id_col]}, "
+              f"{id_col} {fields[id_col]}, cosine double")
+    return src.mapInArrow(score, schema=schema)
+
+
 def ivf_topk(spark: SparkSession, ivf: IvfIndex, probes: DataFrame,
              probe_id_col: str = "probe_id",
              probe_vec_col: str = "probe_vec",
              k: int = 10, nprobe: int = 4) -> DataFrame:
     """Query the PERSISTED IVF index: driver-side nearest-centroid
     selection (no Spark job, no KMeans fit), then exact cosine over a
-    partition-pruned scan of only the probe batch's nprobe clusters."""
+    partition-pruned scan of only the probe batch's nprobe clusters.
+    Rescoring runs in the vectorized arrow kernel
+    (``_rowwise_cosine_arrow``), not per-element JVM expressions."""
     pc, clusters = _probe_cluster_df(probes, probe_id_col, probe_vec_col,
                                      lambda v: ivf.probe_clusters(v, nprobe))
     cand = ivf.assignments(spark, clusters).join(F.broadcast(pc),
                                                  "ivf_cluster")
-    scored = cand.select(
-        probe_id_col, F.col(ivf.id_col),
-        F.round(cosine_col(F.col(ivf.vec_col), F.col(probe_vec_col)), 6)
-        .alias("cosine"))
+    scored = _rowwise_cosine_arrow(cand, probe_id_col, ivf.id_col,
+                                   ivf.vec_col, probe_vec_col)
     w = Window.partitionBy(probe_id_col).orderBy(F.desc("cosine"),
                                                  F.asc(ivf.id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
