@@ -79,8 +79,57 @@ def encode_text(text: str, dim: int = DIM) -> np.ndarray:
 
 
 def encode_batch(texts: list[str], dim: int = DIM) -> np.ndarray:
-    return np.stack([encode_text(t, dim) for t in texts]) if texts else \
-        np.zeros((0, dim), dtype=np.float32)
+    """Batch-vectorized feature hashing, bitwise-identical to
+    ``encode_text`` per row (tests/test_encoder_kernel.py gates this).
+
+    Same treatment that made simhash ~26× faster (ops/textstats.py:144):
+    the batch's tokens are flattened once, ``pd.factorize`` dedups the
+    batch vocabulary, crc32 runs once per UNIQUE token, and every
+    document's signed bucket counts land in one ``np.add.at``
+    scatter-add over a dense (n_docs, dim) float64 matrix — no per-token
+    Python dict, no per-text loop. Value identity holds because summing
+    ±1.0 in float64 is exact and order-independent, and the per-row norm
+    uses the same sqrt(dot(v, v)) path as ``np.linalg.norm`` on 1-D."""
+    n = len(texts)
+    if n == 0:
+        return np.zeros((0, dim), dtype=np.float32)
+    # raw K2 tokens here; the synonym canon-map runs per UNIQUE token
+    # after factorize (identical result, ~100× fewer dict lookups)
+    doc_tokens = [tokenize_k2_py(t or "") for t in texts]
+    counts = np.fromiter((len(t) for t in doc_tokens), dtype=np.int64,
+                         count=n)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros((n, dim), dtype=np.float32)
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for toks in doc_tokens:
+        flat[pos:pos + len(toks)] = toks
+        pos += len(toks)
+    codes, uniques = pd.factorize(flat)
+    uh = np.fromiter(
+        (zlib.crc32(_CANON.get(u, u).encode("utf-8")) for u in uniques),
+        dtype=np.uint32, count=len(uniques))
+    ubucket = (uh % np.uint32(dim)).astype(np.int64)
+    usign = np.where((uh >> np.uint32(31)) & np.uint32(1), -1.0, 1.0)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    fused = doc_idx * dim + ubucket[codes]
+    m = np.bincount(fused, weights=usign[codes],
+                    minlength=n * dim).reshape(n, dim)
+    # m is exactly integer-valued (a sum of ±1.0 in float64), so log1p
+    # routes through a small lookup table — this numpy build's log1p runs
+    # at only ~3M elem/s, while a table gather is memory-speed. Bitwise
+    # identical: lut[k] IS np.log1p(float64(k)).
+    absm = np.abs(m).astype(np.int64)
+    lut = np.log1p(np.arange(int(absm.max()) + 1, dtype=np.float64))
+    v = np.sign(m) * lut[absm]
+    # per-row np.dot is the exact code path np.linalg.norm takes on 1-D
+    # input (sqrt(dot(x, x))) — keeps the norm bitwise identical to
+    # encode_text; one BLAS ddot per row is negligible next to hashing.
+    norms = np.sqrt(np.fromiter((np.dot(r, r) for r in v),
+                                dtype=np.float64, count=n))
+    np.maximum(norms, 1.0, out=norms, where=norms == 0.0)
+    return (v / norms[:, None]).astype(np.float32)
 
 
 class HashingEncoder:
