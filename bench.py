@@ -144,6 +144,17 @@ def main() -> None:
                 timings[f"bm25_q{qi}"] = round(dt, 3)
             extra["bm25_p50_sec"] = round(float(np.percentile(lat, 50)), 3)
             extra["bm25_p95_sec"] = round(float(np.percentile(lat, 95)), 3)
+            # batched served top-k: all 10 golden queries in ONE map stage
+            # (vs 10 per-query actions above) — amortized per-query cost
+            from review_recommender_spark.query.bm25 import \
+                bm25_topk_served_batch
+            t0 = time.perf_counter()
+            bm25_topk_served_batch(spark, idx, list(GOLDEN_PHRASES),
+                                   k=10).collect()
+            dt = time.perf_counter() - t0
+            timings["bm25_served_batch10"] = round(dt, 3)
+            extra["bm25_batch_per_query_sec"] = round(
+                dt / len(GOLDEN_PHRASES), 4)
             # batch path (block-max pruned) latency, for comparison: this
             # is the on-disk scale path, not the serving path
             lat_p = []

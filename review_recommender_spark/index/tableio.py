@@ -144,10 +144,18 @@ class TableIO:
         manifest (parent → None). Data files are untouched — each write
         here replaces its table directory, so there are no orphaned data
         files to vacuum; on real Iceberg the runtime's expire handles
-        both. Returns the number of manifests removed."""
+        both. Returns the number of manifests removed.
+
+        ``keep_last`` must be ≥ 1: keeping zero snapshots would delete
+        every manifest while ``_current.json`` still points at one
+        (chain[-0:] is the WHOLE chain, so the old behavior re-wrote the
+        oldest deleted manifest and left the catalog inconsistent)."""
+        if keep_last < 1:
+            raise ValueError(
+                f"keep_last must be >= 1 (got {keep_last}): the current "
+                "snapshot's manifest must survive expiry")
         chain = self.snapshots(name)
-        keep = {m["snapshot_id"] for m in chain[-keep_last:]} \
-            if keep_last > 0 else set()
+        keep = {m["snapshot_id"] for m in chain[-keep_last:]}
         snap_dir = self._snapshot_dir(name)
         removed = 0
         if not os.path.isdir(snap_dir):

@@ -264,6 +264,75 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def bm25_topk_served_batch(spark: SparkSession, index: InvertedIndex,
+                           queries: list[str], k: int = 10) -> DataFrame:
+    """Batch form of ``bm25_topk_served``: ALL queries answered in ONE map
+    stage over the warm doc-sharded serving layout, instead of one Spark
+    action per query (at toy scale each action costs ~0.3s of pure
+    scheduling; a 10-query golden batch pays it once, not 10×).
+
+    Each shard decodes the union of the batch's query terms' blocks once,
+    then for every query accumulates full per-doc scores in QUERY TOKEN
+    order and emits its exact local top-k; the global merge is a window
+    rank over Q×k×shards rows. Bitwise-identical per query to
+    ``bm25_topk_served`` (same decode, same fold order, same
+    (score desc, doc_id asc) total order — gated by
+    tests/test_wand.py::test_served_batch_topk_equals_per_query).
+
+    Returns (query_id, doc_id, score), k rows per non-empty query."""
+    idf_map = {}
+    token_seqs = []
+    for q in queries:
+        idf = query_term_idf(spark, index, q)
+        idf_map.update(idf)
+        token_seqs.append(tokenize_k2_py(q) if idf else [])
+    known = sorted(idf_map)
+    if not known:
+        return spark.createDataFrame([], "query_id int, " + RESULT_SCHEMA)
+    k1, b = index.cfg.bm25.k1, index.cfg.bm25.b
+    avgdl = index.avgdl
+
+    def local_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        per_term: dict[str, list] = {}
+        for pdf in it:
+            for term, n, db, tb, lb in zip(
+                    pdf["term"], pdf["n"], pdf["doc_bytes"],
+                    pdf["tf_bytes"], pdf["dl_bytes"]):
+                d, t, ln = decode_block(bytes(db), bytes(tb), bytes(lb),
+                                        int(n))
+                tf = t.astype(np.float64)
+                denom = tf + k1 * (1 - b + b * ln.astype(np.float64) / avgdl)
+                per_term.setdefault(term, []).append(
+                    (d, idf_map[term] * (tf * (k1 + 1) / denom)))
+        if not per_term:
+            return
+        for qi, seq in enumerate(token_seqs):
+            if not any(t in per_term for t in seq):
+                continue
+            uniq = np.unique(np.concatenate(
+                [d for t in set(seq) if t in per_term
+                 for d, _ in per_term[t]]))
+            totals = np.zeros(len(uniq))
+            for tok in seq:
+                for d, s in per_term.get(tok, ()):
+                    totals[np.searchsorted(uniq, d)] += s
+            top = np.lexsort((uniq, -totals))[:k]
+            yield pd.DataFrame({"query_id": np.full(len(top), qi,
+                                                    dtype=np.int32),
+                                "doc_id": uniq[top], "score": totals[top]})
+
+    blocks = index.serving_df(spark).filter(F.col("term").isin(known))
+    local = blocks.mapInPandas(local_topk,
+                               schema="query_id int, " + RESULT_SCHEMA)
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    return (local.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k).drop("__r")
+            .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
+
+
 def _block_upper_bound_col(weights: dict[str, float], index: InvertedIndex):
     """Per-block score upper bound as a JVM column expression:
     w_t · (k1+1)·max_tf / (max_tf + k1·(1 − b + b·min_dl/avgdl))."""

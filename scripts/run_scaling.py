@@ -81,7 +81,11 @@ def main() -> None:
                 line = line.strip()
                 if line.startswith('{"metric"'):
                     d = json.loads(line)
-                    if d["cpus"] in (2, 8, 32):
+                    # only reuse rows measured at the SAME corpus size —
+                    # a changed SPARK_GRAFT_BENCH_DOCS_WIDE must fall
+                    # back to re-running, not silently mix scales
+                    if (d["cpus"] in (2, 8, 32)
+                            and d.get("index_n_docs") == n_docs_wide):
                         reuse[d["cpus"]] = d
 
     print("calibrating hardware (pinned busy loops)...", flush=True)

@@ -65,6 +65,9 @@ def assert_frames_match(got: pd.DataFrame, exp: pd.DataFrame, name: str):
 
 
 ALL = sorted(entrymod.queries())
+# the hybrid oracle precomputes its VALUES from the documents parquet —
+# point it at THIS test's sf dir (the driver leaves it unset → sf0.01)
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 ORACLES = entrymod.oracle_sql()
 
 

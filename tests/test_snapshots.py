@@ -39,3 +39,18 @@ def test_expire_snapshots_keeps_recent_rereads_current(spark, tmp_path):
     assert io.read(spark, "t").count() == 3
     # idempotent
     assert io.expire_snapshots("t", keep_last=2) == 0
+
+
+def test_expire_snapshots_rejects_keep_last_zero(spark, tmp_path):
+    """keep_last=0 would delete every manifest while _current.json still
+    points at one (and chain[-0:] is the whole chain) — must be rejected
+    up front, not half-executed."""
+    from review_recommender_spark.index.tableio import TableIO
+    import pytest
+    io = TableIO(str(tmp_path))
+    df = spark.range(3).toDF("x")
+    io.write(df, "t")
+    with pytest.raises(ValueError, match="keep_last"):
+        io.expire_snapshots("t", keep_last=0)
+    assert io.current_snapshot("t") is not None
+    assert len(io.snapshots("t")) == 1

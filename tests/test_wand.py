@@ -43,6 +43,27 @@ def test_served_equals_exact(spark, small_index, query):
                                [r["score"] for r in exact], rtol=1e-12)
 
 
+def test_served_batch_topk_equals_per_query(spark, small_index):
+    """bm25_topk_served_batch (one map stage for ALL queries) must be
+    bitwise-identical per query to bm25_topk_served — same decode, same
+    query-token-order fold, same (score desc, doc_id asc) order."""
+    from review_recommender_spark.query.bm25 import (bm25_topk_served,
+                                                     bm25_topk_served_batch)
+    small_index.warm(spark, serving_shards=5)
+    batch = bm25_topk_served_batch(spark, small_index, QUERIES,
+                                   k=10).collect()
+    by_q: dict[int, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qi, query in enumerate(QUERIES):
+        solo = bm25_topk_served(spark, small_index, query, k=10).collect()
+        got = by_q.get(qi, [])
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in solo], \
+            f"query {qi!r}: batch ranking differs from per-query served"
+        assert [r["score"] for r in got] == [r["score"] for r in solo], \
+            f"query {qi!r}: batch scores not bitwise-equal"
+
+
 def test_pruned_small_seed_still_safe(spark, small_index):
     """Even a 1-range seed must stay rank-identical (θ only prunes ranges
     whose upper bound cannot reach it)."""
