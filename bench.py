@@ -174,6 +174,14 @@ def main() -> None:
             emb = spark.read.parquet(os.path.join(tmp, "emb"))
             meta = (docs.select("doc_id", F.col("text").alias("agg_text"))
                     .join(page_meta_cols(docs.select("doc_id")), "doc_id"))
+            # untimed 1-query warmup: first execution of the hybrid plan
+            # pays one-time codegen JIT + python-worker spawn for the
+            # applyInPandas stage (same steady-state rationale as
+            # jit_warmup_build); reported separately for transparency
+            t0 = time.perf_counter()
+            hybrid_search_batch(spark, idx, emb, meta,
+                                [GOLDEN_PHRASES[0]], k=10).count()
+            timings["jit_warmup_hybrid"] = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
             res = hybrid_search_batch(spark, idx, emb, meta,
                                       list(GOLDEN_PHRASES), k=10)

@@ -245,6 +245,23 @@ class InvertedIndex:
             driver-sized (≤ idf_cache_max), so per-query weights cost zero
             Spark jobs. Larger vocabularies fall back to a bucket-pruned
             lookup job per query batch.
+
+        MEMORY ENVELOPE (what "warm at 10^12 docs" costs, arithmetic a
+        reader can check): the serving layout caches the ENCODED posting
+        blocks — measured 2.41 bytes/posting (delta+varint, BENCH) plus
+        ~1 byte/posting of block metadata/row overhead at the measured
+        ~1k-posting mean block size. A web corpus averages ~400 postings
+        (distinct K1 terms) per doc, so:
+          postings/doc · bytes/posting ≈ 400 · 3.5 ≈ 1.4 KB/doc warm.
+          10^9 docs  →  ~1.4 TB  → 47 executors at 30 GiB cache each.
+          10^12 docs →  ~1.4 PB  → needs ~47k such executors: warm-ALL is
+          a fleet decision, not a default — at that scale you warm the
+          head shards (Zipf: the hot 10% of ranges serve most queries)
+          and leave the tail on the on-disk pruned path
+          (``bm25_topk_pruned``), which needs NO resident postings.
+        The driver idf cache is ~60 B/term (str + float in a dict): the
+        default ``idf_cache_max`` = 2M terms ≈ 120 MB driver RSS; larger
+        vocabularies auto-fall-back to per-batch lookup jobs.
         """
         if self._cached:
             for df in self._cached.values():

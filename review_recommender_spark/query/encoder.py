@@ -175,26 +175,39 @@ def embed_documents(df: DataFrame, text_col: str = "text",
     factory = model_factory or (lambda: HashingEncoder(dim))
     key = (f"{getattr(model_factory, '__module__', 'default')}."
            f"{getattr(model_factory, '__qualname__', 'hashing')}:{dim}")
+    import pyarrow as pa
 
-    def encode_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    text_idx = df.columns.index(text_col)
+
+    def encode_partition(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # mapInArrow, not mapInPandas: the (B, dim) float32 encode output
+        # becomes the list column DIRECTLY from its flat buffer
+        # (offsets + values) — the earlier per-row `v.tolist()`
+        # materialized B·dim Python floats per batch, which dominated the
+        # embed-build stage at 120k docs.
         model = None
-        for pdf in it:
+        for batch in it:
             if model is None:
                 model = _worker_model(factory, key)
-            pdf = pdf.copy()
-            texts = pdf[text_col].tolist()
+            texts = ["" if t is None else t
+                     for t in batch.column(text_idx).to_pylist()]
             chunks = [model.encode(texts[i:i + batch_size])
                       for i in range(0, len(texts), batch_size)]
-            vecs = np.concatenate(chunks) if chunks else \
-                np.zeros((0, dim), dtype=np.float32)
-            pdf[out_col] = [v.tolist() for v in vecs]
-            yield pdf
+            vecs = (np.concatenate(chunks) if chunks else
+                    np.zeros((0, dim), dtype=np.float32))
+            offsets = np.arange(0, (len(texts) + 1) * dim, dim,
+                                dtype=np.int32)
+            emb = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(vecs.ravel(), type=pa.float32()))
+            yield pa.record_batch(batch.columns + [emb],
+                                  names=batch.schema.names + [out_col])
 
     from pyspark.sql import types as T
     schema = T.StructType(list(df.schema.fields)
                           + [T.StructField(out_col,
                                            T.ArrayType(T.FloatType()))])
-    return df.mapInPandas(encode_partition, schema=schema)
+    return df.mapInArrow(encode_partition, schema=schema)
 
 
 def cross_encoder_score(query: str, texts: list[str]) -> np.ndarray:
