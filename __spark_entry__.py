@@ -124,6 +124,22 @@ def q_ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
+def q_ft_bm25_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING path under the driver's oracle: warm doc-sharded
+    layout, both queries answered in one map stage
+    (``bm25_topk_served_batch``). Scores are bitwise-equal to the exact
+    path (tests/test_wand.py), so the same DuckDB BM25 recomputation
+    gates this plan — zero shuffle, driver-cached idf — not just the
+    cold join plan that ``ft_bm25_topk`` runs."""
+    from review_recommender_spark.query.bm25 import bm25_topk_served_batch
+    idx = _doc_index(spark, sf_dir)
+    if not idx.is_warm():
+        idx.warm(spark)
+    res = bm25_topk_served_batch(spark, idx, list(HYBRID_QUERIES), k=BM25_K)
+    return res.select("query_id", "doc_id",
+                      F.round("score", 4).alias("score"))
+
+
 # ------------------------------------------------------ relational entries
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,10 +360,16 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: IVF ANN via the PERSISTED index path (build-once
-    ``ivf_build`` → partition-pruned ``ivf_topk``; no quantizer fit at
-    query time — recall ≥0.9 + no-fit gates in pytest; the scale path
-    for the hybrid dense pool, dense_mode='ivf')."""
+    """IVF via the PERSISTED index path (build-once ``ivf_build`` →
+    ``ivf_topk``; no quantizer fit at query time). Driver-verified with
+    the brute-force cosine SQL oracle by probing ALL clusters: at
+    nprobe = n_clusters IVF is exact by construction, so the oracle
+    checks the whole machinery — persisted partitioned assignments scan,
+    driver-side centroid routing, arrow rescoring kernel, rank window —
+    against an independent SQL recomputation. The ANN-specific behavior
+    (partition pruning at nprobe < n, recall ≥0.9, KMeans.fit poisoned
+    at query time) is pytest-gated in tests/test_ops.py, where cluster
+    assignments can be inspected rather than SQL-derived."""
     from review_recommender_spark.index.tableio import TableIO
     emb = _load(spark, sf_dir, "embeddings")
     probes = (emb.filter(F.col("vec_id").isin(0, 1, 2))
@@ -361,7 +383,7 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "rrs_entry_ivf_" + sf_dir.strip("/").replace("/", "_"))
         _EMB_CACHE[ikey] = S.ivf_build(emb, TableIO(root), n_clusters=8)
     ivf = _EMB_CACHE[ikey]
-    return (S.ivf_topk(spark, ivf, probes, k=5, nprobe=4)
+    return (S.ivf_topk(spark, ivf, probes, k=5, nprobe=8)
             .select("probe_id", "vec_id", "cosine", "rank"))
 
 
@@ -615,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_term_idf": q_ft_term_idf,
         "ft_postings": q_ft_postings,
         "ft_bm25_topk": q_ft_bm25_topk,
+        "ft_bm25_topk_served": q_ft_bm25_topk_served,
         "tpch_q1": q_tpch_q1,
         "top3_lineitems": q_top3_lineitems,
         "customer_order_totals": q_customer_order_totals,
@@ -907,6 +930,10 @@ SELECT term, df, round(idf, 6) AS idf FROM idf WHERE df >= 50""",
 SELECT term, doc_id, tf FROM tfc
 WHERE term IN ({', '.join(repr(t) for t in PROBE_TERMS)})""",
         "ft_bm25_topk": _bm25_sql(BM25_QUERY, 1.2, 0.75, BM25_K),
+        "ft_bm25_topk_served": " UNION ALL ".join(
+            f"SELECT {qi} AS query_id, t.* "
+            f"FROM ({_bm25_sql(q, 1.2, 0.75, BM25_K)}) t"
+            for qi, q in enumerate(HYBRID_QUERIES)),
         "hybrid_search_topk": _hybrid_oracle_sql(),
         # invariant oracle (cluster ids aren't SQL-derivable; see
         # q_ml_kmeans): k non-empty clusters, all rows assigned, WSS<TSS
@@ -1065,6 +1092,28 @@ ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
            FROM scored)
 SELECT probe_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""",
         "sim_lsh_ann": _lsh_ann_sql(LSH_ANN_PLANES, LSH_ANN_BANDS, 5),
+        # full-probe IVF is exact (see q_sim_ivf_ann): same brute-force
+        # cosine recomputation as sim_cosine_topk, through the persisted
+        # partitioned-index machinery on the Spark side
+        "sim_ivf_ann": """
+WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv
+                FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT p.probe_id, e.vec_id,
+         round(
+           (SELECT sum(x * y) FROM (SELECT unnest(e.embedding::double[]) AS x,
+                                           unnest(p.pv::double[]) AS y))
+           / greatest(
+               sqrt((SELECT sum(x * x)
+                     FROM (SELECT unnest(e.embedding::double[]) AS x)))
+               * sqrt((SELECT sum(y * y)
+                       FROM (SELECT unnest(p.pv::double[]) AS y))),
+               1e-12), 6) AS cosine
+  FROM embeddings e CROSS JOIN probes p),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                   ORDER BY cosine DESC, vec_id) AS rank
+           FROM scored)
+SELECT probe_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""",
         "mm_media_meta": """
 SELECT doc_id, 'text/plain' AS media_type,
        octet_length(encode(text)) AS n_bytes,
