@@ -831,7 +831,14 @@ def _hybrid_oracle_sql(sf_dir: str | None = None) -> str:
     pandas composition — the failure class a distributed rewrite actually
     risks. Rank identity only; float32 scores carry ~1e-5 noise vs the
     float64 oracle and are gated at rtol=1e-5 in pytest instead (see
-    q_hybrid_search_topk docstring)."""
+    q_hybrid_search_topk docstring).
+
+    Rank-flake margin (audited): the smallest adjacent _final gap in the
+    top-12 of any (sf0.001, sf0.01) × query combination is 2.6e-4 —
+    ~26× the cross-path score noise — so engine-vs-oracle rank disagreement
+    would need a score divergence far outside the pytest-gated envelope.
+    If corpora ever change, re-run that margin sweep before trusting a
+    mismatch report."""
     import numpy as np
     import pandas as pd
 
