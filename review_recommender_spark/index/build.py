@@ -122,17 +122,51 @@ def _tokens_df(docs: DataFrame, cfg: EngineConfig, doc_id_col: str,
     return base.select("doc_id", tokenize_k1_col(F.col("text"), cap).alias("toks"))
 
 
+def _blocks_from_postings(tcol, rcol, doc_ids, tfs, dls, change,
+                          block_size: int) -> pd.DataFrame:
+    """Sorted postings (+ ``change`` marking each (term, range) group
+    start) → encoded posting-block rows. Shared by the raw-occurrence
+    encode kernel and the packed merge kernel so both Stage C modes
+    build byte-identical blocks from identical posting streams."""
+    import numpy as np
+
+    from .codec import encode_blocks_bulk
+
+    cols = ["term", "range_id", "block_id", "n", "first_doc_id",
+            "last_doc_id", "max_tf", "min_dl", "doc_bytes", "tf_bytes",
+            "dl_bytes"]
+    # per-posting index within its group → block starts, vectorized
+    n = len(doc_ids)
+    idx = np.arange(n, dtype=np.int64)
+    group_id = np.cumsum(change) - 1
+    group_start = idx[change][group_id]
+    rel = idx - group_start
+    is_block_start = (rel % block_size) == 0
+    bs = np.flatnonzero(is_block_start)
+    bend = np.append(bs[1:], n)
+    db, tb, lb = encode_blocks_bulk(doc_ids, tfs, dls, bs)
+    return pd.DataFrame({
+        "term": tcol[bs],
+        "range_id": rcol[bs],
+        "block_id": (rel[bs] // block_size).astype(np.int32),
+        "n": (bend - bs).astype(np.int32),
+        "first_doc_id": doc_ids[bs],
+        "last_doc_id": doc_ids[bend - 1],
+        "max_tf": np.maximum.reduceat(tfs, bs).astype(np.int32),
+        "min_dl": np.minimum.reduceat(dls, bs).astype(np.int32),
+        "doc_bytes": db,
+        "tf_bytes": tb,
+        "dl_bytes": lb,
+    }, columns=cols)
+
+
 def _encode_partitions(cfg: EngineConfig):
     block_size = cfg.index.block_size
 
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
-        from .codec import encode_blocks_bulk
 
         pending: pd.DataFrame | None = None
-        cols = ["term", "range_id", "block_id", "n", "first_doc_id",
-                "last_doc_id", "max_tf", "min_dl", "doc_bytes", "tf_bytes",
-                "dl_bytes"]
 
         def encode_groups(pdf: pd.DataFrame, flush_all: bool
                           ) -> tuple[pd.DataFrame | None, pd.DataFrame | None]:
@@ -169,30 +203,8 @@ def _encode_partitions(cfg: EngineConfig):
             tcol = tcol[runs]
             rcol = rcol[runs]
             change = change[runs]
-
-            # per-posting index within its group → block starts, vectorized
-            n = len(doc_ids)
-            idx = np.arange(n, dtype=np.int64)
-            group_id = np.cumsum(change) - 1
-            group_start = idx[change][group_id]
-            rel = idx - group_start
-            is_block_start = (rel % block_size) == 0
-            bs = np.flatnonzero(is_block_start)
-            bend = np.append(bs[1:], n)
-            db, tb, lb = encode_blocks_bulk(doc_ids, tfs, dls, bs)
-            out = pd.DataFrame({
-                "term": tcol[bs],
-                "range_id": rcol[bs],
-                "block_id": (rel[bs] // block_size).astype(np.int32),
-                "n": (bend - bs).astype(np.int32),
-                "first_doc_id": doc_ids[bs],
-                "last_doc_id": doc_ids[bend - 1],
-                "max_tf": np.maximum.reduceat(tfs, bs).astype(np.int32),
-                "min_dl": np.minimum.reduceat(dls, bs).astype(np.int32),
-                "doc_bytes": db,
-                "tf_bytes": tb,
-                "dl_bytes": lb,
-            }, columns=cols)
+            out = _blocks_from_postings(tcol, rcol, doc_ids, tfs, dls,
+                                        change, block_size)
             return remainder, out
 
         for pdf in it:
@@ -208,6 +220,166 @@ def _encode_partitions(cfg: EngineConfig):
                 yield out
 
     return encode
+
+
+PARTIAL_SCHEMA = ("term string, range_id long, n int, doc_arr binary, "
+                  "tf_arr binary, dl_arr binary")
+
+
+def _pack_partials(cfg: EngineConfig, chunk_rows: int = 2_000_000):
+    """MAP-SIDE COMBINE for Stage C — the north rule's "build
+    per-partition inverted indexes ... merge them shuffle-side" stated
+    literally: each scan task locally sorts its occurrence rows by
+    (term, range_id, doc_id), run-length-collapses them into postings,
+    and emits ONE row per (term, range_id) carrying packed int arrays
+    (doc_ids int64, tfs/dls int32 — both ≤ token_cap by construction).
+
+    Vs shuffling raw occurrences this cuts exchanged ROWS by ~avg
+    postings-per-partial (~50-100×) and bytes by ~2-3× (no per-row
+    Tungsten header / term string per occurrence), and moves the big
+    sort from the reducer's 37M-row string-keyed JVM sort to perfectly
+    parallel numpy lexsorts over factorized int codes. A (doc, term) run
+    split across Arrow batches (or a doc split across... impossible —
+    a doc is one input row, but a chunk flush can split its runs) just
+    yields two partials for the same doc; the merge kernel re-sums.
+    """
+
+    def pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def flush(frames: list[pd.DataFrame]) -> pd.DataFrame:
+            pdf = (pd.concat(frames, ignore_index=True)
+                   if len(frames) > 1 else frames[0])
+            codes, uniq = pd.factorize(pdf["term"].to_numpy())
+            r = pdf["range_id"].to_numpy()
+            d = pdf["doc_id"].to_numpy()
+            order = np.lexsort((d, r, codes))
+            codes, r, d = codes[order], r[order], d[order]
+            dl = pdf["dl"].to_numpy(dtype=np.int32)[order]
+            m = len(d)
+            change = np.empty(m, dtype=bool)
+            change[0] = True
+            change[1:] = ((codes[1:] != codes[:-1]) | (r[1:] != r[:-1])
+                          | (d[1:] != d[:-1]))
+            runs = np.flatnonzero(change)
+            doc_ids = d[runs]
+            tfs = np.diff(np.append(runs, m)).astype(np.int32)
+            dls = dl[runs]
+            gcodes, granges = codes[runs], r[runs]
+            gchange = np.empty(len(runs), dtype=bool)
+            gchange[0] = True
+            gchange[1:] = ((gcodes[1:] != gcodes[:-1])
+                           | (granges[1:] != granges[:-1]))
+            gs = np.flatnonzero(gchange)
+            ge = np.append(gs[1:], len(runs))
+            return pd.DataFrame({
+                "term": uniq[gcodes[gs]],
+                "range_id": granges[gs],
+                "n": (ge - gs).astype(np.int32),
+                "doc_arr": [doc_ids[a:b].tobytes()
+                            for a, b in zip(gs, ge)],
+                "tf_arr": [tfs[a:b].tobytes() for a, b in zip(gs, ge)],
+                "dl_arr": [dls[a:b].tobytes() for a, b in zip(gs, ge)],
+            })
+
+        buf: list[pd.DataFrame] = []
+        nbuf = 0
+        for pdf in it:
+            if not len(pdf):
+                continue
+            buf.append(pdf)
+            nbuf += len(pdf)
+            if nbuf >= chunk_rows:
+                yield flush(buf)
+                buf, nbuf = [], 0
+        if buf:
+            yield flush(buf)
+
+    return pack
+
+
+def _merge_encode_partials(cfg: EngineConfig):
+    """REDUCE side of the packed Stage C: partial rows arrive hash-
+    partitioned by (term, range_id) and JVM-sorted on those keys; each
+    group's partials are unpacked, globally doc-sorted, duplicate docs
+    (runs split at map-side chunk flushes) tf-summed, and block-encoded
+    via the SAME ``_blocks_from_postings`` as the raw path. Output is
+    byte-identical to the raw path (pytest-gated): doc_ids are unique
+    per group after the re-sum, so the merged posting stream is fully
+    determined by content, independent of partial arrival order. The
+    whole merge is vectorized across ALL groups of a batch (one
+    frombuffer per column + one lexsort) — no per-group Python loop."""
+    block_size = cfg.index.block_size
+
+    def merge(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pending: pd.DataFrame | None = None
+
+        def merge_groups(pdf: pd.DataFrame, flush_all: bool
+                         ) -> tuple[pd.DataFrame | None, pd.DataFrame | None]:
+            if len(pdf) == 0:
+                return None, None
+            tcol = pdf["term"].to_numpy()
+            rcol = pdf["range_id"].to_numpy()
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = (tcol[1:] != tcol[:-1]) | (rcol[1:] != rcol[:-1])
+            remainder = None
+            if not flush_all:
+                last_start = int(np.flatnonzero(change)[-1])
+                remainder = pdf.iloc[last_start:]
+                pdf = pdf.iloc[:last_start]
+                if len(pdf) == 0:
+                    return remainder, None
+                tcol, rcol, change = (tcol[:last_start], rcol[:last_start],
+                                      change[:last_start])
+            counts = pdf["n"].to_numpy(dtype=np.int64)
+            docs = np.frombuffer(b"".join(pdf["doc_arr"]), dtype=np.int64)
+            tfs = np.frombuffer(b"".join(pdf["tf_arr"]),
+                                dtype=np.int32).astype(np.int64)
+            dls = np.frombuffer(b"".join(pdf["dl_arr"]),
+                                dtype=np.int32).astype(np.int64)
+            row_gid = np.cumsum(change) - 1          # group id per partial
+            gid = np.repeat(row_gid, counts)          # ... per posting
+            order = np.lexsort((docs, gid))
+            gid, docs = gid[order], docs[order]
+            tfs, dls = tfs[order], dls[order]
+            # re-sum tf of duplicate (group, doc) postings (map-side chunk
+            # splits); dl is per-doc so any duplicate carries the same dl
+            pchange = np.empty(len(docs), dtype=bool)
+            pchange[0] = True
+            pchange[1:] = (gid[1:] != gid[:-1]) | (docs[1:] != docs[:-1])
+            runs = np.flatnonzero(pchange)
+            doc_ids = docs[runs]
+            tf_sum = np.add.reduceat(tfs, runs)
+            dl_first = dls[runs]
+            post_gid = gid[runs]
+            gchange = np.empty(len(runs), dtype=bool)
+            gchange[0] = True
+            gchange[1:] = post_gid[1:] != post_gid[:-1]
+            # per-posting term/range via the group-leading partial row
+            # (group order within the batch follows the JVM (term, range)
+            # sort, so block output order is deterministic)
+            lead = np.flatnonzero(change)
+            out = _blocks_from_postings(
+                tcol[lead][post_gid], rcol[lead][post_gid],
+                doc_ids, tf_sum, dl_first, gchange, block_size)
+            return remainder, out
+
+        for pdf in it:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            pending, out = merge_groups(pdf, flush_all=False)
+            if out is not None and len(out):
+                yield out
+        if pending is not None and len(pending):
+            _, out = merge_groups(pending, flush_all=True)
+            if out is not None and len(out):
+                yield out
+
+    return merge
 
 
 @dataclass
@@ -437,12 +609,27 @@ def build_index(spark: SparkSession, docs: DataFrame | str, io: TableIO,
            .select("doc_id", "dl", "term")
            .withColumn("range_id",
                        F.shiftright(F.col("doc_id"), cfg.index.range_shift)))
-    encoded = (tfp.repartition(shuffle_partitions, "term", "range_id")
-               .sortWithinPartitions("term", "range_id", "doc_id")
-               .mapInPandas(_encode_partitions(cfg), schema=BLOCK_SCHEMA)
-               .withColumn("term_bucket",
-                           term_bucket_col(F.col("term"),
-                                           cfg.index.term_buckets)))
+    if cfg.index.stage_c_mode == "packed":
+        # map-side combine: pack per-(term, range) posting arrays BEFORE
+        # the exchange (north rule: per-partition indexes merged
+        # shuffle-side); the shuffle then moves ~50-100× fewer rows and
+        # the reducer merges pre-sorted partials instead of sorting raw
+        # occurrences
+        partials = tfp.mapInPandas(_pack_partials(cfg),
+                                   schema=PARTIAL_SCHEMA)
+        encoded = (partials.repartition(shuffle_partitions,
+                                        "term", "range_id")
+                   .sortWithinPartitions("term", "range_id")
+                   .mapInPandas(_merge_encode_partials(cfg),
+                                schema=BLOCK_SCHEMA))
+    else:
+        encoded = (tfp.repartition(shuffle_partitions, "term", "range_id")
+                   .sortWithinPartitions("term", "range_id", "doc_id")
+                   .mapInPandas(_encode_partitions(cfg),
+                                schema=BLOCK_SCHEMA))
+    encoded = encoded.withColumn(
+        "term_bucket", term_bucket_col(F.col("term"),
+                                       cfg.index.term_buckets))
     # co-locate each bucket on one writer task (second shuffle, but of the
     # already-encoded compact blocks): 1 file per bucket dir instead of
     # tasks × buckets small files

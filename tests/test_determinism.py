@@ -46,6 +46,36 @@ def test_index_identical_across_partitioning(spark, small_pages, tmp_path):
                                                  b.vocab_size)
 
 
+def test_stage_c_modes_byte_identical(spark, small_pages, tmp_path):
+    """The packed Stage C (map-side partial posting arrays merged
+    shuffle-side) must produce byte-identical postings + term stats to
+    the raw-occurrence path, including across different partitioning —
+    and with a tiny pack chunk size so map-side chunk flushes SPLIT
+    (doc, term) runs and exercise the merge kernel's tf re-sum."""
+    from unittest import mock
+
+    from review_recommender_spark.index import build as B
+
+    cfg = _cfg()  # stage_c_mode defaults to 'packed'
+    raw_cfg = dataclasses.replace(
+        cfg, index=dataclasses.replace(cfg.index, stage_c_mode="raw"))
+    a = build_index(spark, small_pages.repartition(7),
+                    TableIO(str(tmp_path / "p")), cfg, n_chunks=1,
+                    shuffle_partitions=5)
+    b = build_index(spark, small_pages.repartition(3),
+                    TableIO(str(tmp_path / "r")), raw_cfg, n_chunks=1,
+                    shuffle_partitions=11)
+    assert _fingerprint_index(spark, a) == _fingerprint_index(spark, b)
+    orig = B._pack_partials
+    with mock.patch.object(
+            B, "_pack_partials",
+            lambda c, chunk_rows=2_000_000: orig(c, chunk_rows=64)):
+        c = build_index(spark, small_pages.repartition(4),
+                        TableIO(str(tmp_path / "s")), cfg, n_chunks=1,
+                        shuffle_partitions=7)
+    assert _fingerprint_index(spark, c) == _fingerprint_index(spark, b)
+
+
 def test_topk_stable_across_runs(spark, small_index):
     """Repeated execution of the same query must return identical rows
     (ties broken by doc_id, float sums stable at comparison precision)."""
