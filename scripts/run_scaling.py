@@ -188,7 +188,13 @@ The box advertises 32 CPUs but saturates near ~14 effective cores
 | 8 → 32 | {sp832:.2f}× | {eff832:.3f} | {hw[32] / hw[8]:.2f}× | silicon-capped |
 
 The primary gate is the 1→4 pair, where the hardware itself still scales
-≈{hw[4] / hw[1]:.1f}×. For wider pairs the engine tracks the measured
+≈{hw[4] / hw[1]:.1f}×. This table is ONE run of a noisy measurement —
+read it together with the full run history in "Measurement variance"
+below (every suite run ever recorded, in order, PASSes and FAILs alike):
+single runs on this shared host have ranged 0.69-0.88 around the same
+build plan, the absolute gate passed in runs 5, 7, 8, 12 and 14, and
+the busy-loop "hardware ceiling" itself swings 3.4-4.2×. For wider
+pairs the engine tracks the measured
 hardware ceiling (normalized efficiency 2→8:
 {sp28 / (hw[8] / hw[2]):.2f}, 8→32: {sp832 / (hw[32] / hw[8]):.2f}) —
 the shortfall is host oversubscription and memory-bandwidth saturation,
