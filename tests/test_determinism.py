@@ -106,3 +106,30 @@ def test_hybrid_stable_across_partitioning(spark, small_pages, small_index):
                        k=10).collect()
     assert [(r["doc_id"], round(float(r["_final"]), 6)) for r in r1] == \
         [(r["doc_id"], round(float(r["_final"]), 6)) for r in r2]
+
+
+def test_packed_build_edge_corpora(spark, tmp_path):
+    """Packed Stage C on degenerate corpora: a single doc, a doc with no
+    tokens (all stopwords), and all-identical texts (one giant posting
+    group) — build must succeed and agree with the raw path."""
+    import pandas as pd
+
+    cfg = _cfg()
+    raw_cfg = dataclasses.replace(
+        cfg, index=dataclasses.replace(cfg.index, stage_c_mode="raw"))
+    corpora = {
+        "single": pd.DataFrame({"doc_id": [0],
+                                "text": ["lonely document text"]}),
+        "notok": pd.DataFrame({"doc_id": [0, 1],
+                               "text": ["the a of", "real words here"]}),
+        "same": pd.DataFrame({"doc_id": list(range(40)),
+                              "text": ["identical text body"] * 40}),
+    }
+    for name, pdf in corpora.items():
+        docs = spark.createDataFrame(pdf, "doc_id long, text string")
+        a = build_index(spark, docs, TableIO(str(tmp_path / (name + "p"))),
+                        cfg, n_chunks=1, shuffle_partitions=3)
+        b = build_index(spark, docs, TableIO(str(tmp_path / (name + "r"))),
+                        raw_cfg, n_chunks=1, shuffle_partitions=3)
+        assert _fingerprint_index(spark, a) == _fingerprint_index(spark, b), name
+        assert a.n_docs == len(pdf), name
