@@ -149,12 +149,23 @@ def main() -> None:
             from review_recommender_spark.query.bm25 import \
                 bm25_topk_served_batch
             t0 = time.perf_counter()
+            skip_stats: dict = {}
             bm25_topk_served_batch(spark, idx, list(GOLDEN_PHRASES),
-                                   k=10).collect()
+                                   k=10, stats=skip_stats).collect()
             dt = time.perf_counter() - t0
             timings["bm25_served_batch10"] = round(dt, 3)
             extra["bm25_batch_per_query_sec"] = round(
                 dt / len(GOLDEN_PHRASES), 4)
+            # block-max skipping effectiveness in the served path: how
+            # many resident posting blocks the 10-query batch decoded vs
+            # how many its terms own (per-shard θ pruning; bitwise gate
+            # in tests/test_wand.py)
+            dec = skip_stats["decoded_blocks"].value
+            tot = skip_stats["total_blocks"].value
+            extra["served_blocks_decoded"] = dec
+            extra["served_blocks_total"] = tot
+            extra["served_block_skip_ratio"] = round(
+                1.0 - dec / max(tot, 1), 4)
             # batch path (block-max pruned) latency, for comparison: this
             # is the on-disk scale path, not the serving path
             lat_p = []

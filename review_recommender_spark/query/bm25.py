@@ -147,12 +147,15 @@ def _query_blocks(spark: SparkSession, index: InvertedIndex,
 
 
 def _score_weighted_blocks(joined: DataFrame, index: InvertedIndex,
-                           with_query_id: bool) -> DataFrame:
+                           with_query_id: bool,
+                           acc_blocks=None) -> DataFrame:
     """Decode + score posting blocks carrying a ``weight`` (single-idf)
     column (and optionally ``query_id``) → per-posting partial scores,
     one row per (doc, term) with the term kept for the query-order fold.
     The partial's float expression order matches BM25Okapi term-by-term:
-    idf · ((tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl)))."""
+    idf · ((tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl))).
+    ``acc_blocks``: optional Spark accumulator counting decoded block
+    rows (observability; task retries may double-count)."""
     k1, b = index.cfg.bm25.k1, index.cfg.bm25.b
     avgdl = index.avgdl
 
@@ -161,6 +164,8 @@ def _score_weighted_blocks(joined: DataFrame, index: InvertedIndex,
         for pdf in it:
             if not len(pdf):
                 continue
+            if acc_blocks is not None:
+                acc_blocks.add(len(pdf))
             qids, terms, docs, scores = [], [], [], []
             qcol = pdf["query_id"] if with_query_id else [0] * len(pdf)
             for qid, term, wgt, n, db, tb, lb in zip(
@@ -193,8 +198,16 @@ def _topk(partials: DataFrame, token_seq: list[str], k: int) -> DataFrame:
             .limit(k))
 
 
+def _mk_decode_acc(spark: SparkSession, stats: dict | None):
+    if stats is None:
+        return None
+    acc = spark.sparkContext.accumulator(0)
+    stats["decoded_blocks"] = acc
+    return acc
+
+
 def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query: str,
-                    k: int = 10) -> DataFrame:
+                    k: int = 10, stats: dict | None = None) -> DataFrame:
     """Exact BM25 top-k in one action."""
     qtf = _qtf(query)
     if not qtf:
@@ -202,12 +215,139 @@ def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query: str,
     w = weights_df(spark, index, [query]).drop("query_id")
     blocks = _query_blocks(spark, index, sorted(qtf))
     joined = blocks.join(F.broadcast(w), "term")
-    return _topk(_score_weighted_blocks(joined, index, with_query_id=False),
+    acc = _mk_decode_acc(spark, stats)
+    return _topk(_score_weighted_blocks(joined, index, with_query_id=False,
+                                        acc_blocks=acc),
                  tokenize_k2_py(query), k)
 
 
+def _served_local_topk(token_seqs: list[list[str]], idf_map: dict,
+                       k1: float, b: float, avgdl: float, k: int,
+                       block_skip: bool, with_query_id: bool,
+                       acc_decoded=None, acc_total=None):
+    """Shared per-shard kernel for the served paths, WITH block-max
+    skipping: before decoding anything, every block row's idf-free unit
+    upper bound is computed from the resident (max_tf, min_dl) metadata
+    (the same bound expression as ``_block_upper_bound_col``), ranges are
+    visited in descending summed-bound order per query, and a range whose
+    bound cannot beat the shard-local θ (k-th best score so far, tie-safe
+    ulp slack as in ``bm25_topk_pruned``) is never decoded — nor is any
+    range after it, since bounds only fall and θ only rises. This is what
+    keeps warm serving honest for head terms at 10^9+ docs: a shard whose
+    best possible doc can't crack its own local top-k stops decoding
+    after the few hottest ranges instead of walking every posting block.
+
+    Rank-safety → BITWISE identity (tests/test_wand.py::
+    test_served_block_skip_bitwise): a doc's complete postings live in
+    one range of one shard, so skipping a range drops whole documents
+    whose total score is strictly below θ's slack margin — never a single
+    term's contribution — and every surviving doc's score is accumulated
+    in QUERY TOKEN order over exactly the same per-block float partials
+    as the unskipped kernel.
+
+    ``acc_decoded``/``acc_total`` are optional Spark accumulators
+    counting decoded vs resident block rows (task retries may
+    double-count; observability only, not part of any result)."""
+
+    def local_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        rows: list[tuple] = []
+        for pdf in it:
+            for tup in zip(pdf["term"], pdf["range_id"], pdf["n"],
+                           pdf["max_tf"], pdf["min_dl"], pdf["doc_bytes"],
+                           pdf["tf_bytes"], pdf["dl_bytes"]):
+                rows.append(tup)
+        if not rows:
+            return
+        if acc_total is not None:
+            acc_total.add(len(rows))
+
+        # idf- and qtf-free unit bound per block row; per (range, term)
+        # the bound is the max over that term's blocks in the range
+        by_range_term: dict[tuple, list[int]] = {}
+        unit_ub = np.empty(len(rows))
+        for i, (term, rid, _n, mt, md, *_enc) in enumerate(rows):
+            by_range_term.setdefault((int(rid), term), []).append(i)
+            mtf = float(mt)
+            unit_ub[i] = ((k1 + 1) * mtf
+                          / (mtf + k1 * (1 - b + b * float(md) / avgdl)))
+        max_unit: dict[tuple, float] = {
+            key: max(unit_ub[i] for i in idxs)
+            for key, idxs in by_range_term.items()}
+
+        decoded: dict[int, tuple] = {}
+
+        def decode_row(i: int) -> tuple:
+            got = decoded.get(i)
+            if got is None:
+                term, _rid, n, _mt, _md, db, tb, lb = rows[i]
+                d, t, ln = decode_block(bytes(db), bytes(tb), bytes(lb),
+                                        int(n))
+                tf = t.astype(np.float64)
+                denom = tf + k1 * (1 - b + b * ln.astype(np.float64)
+                                   / avgdl)
+                got = decoded[i] = (d, idf_map[term]
+                                    * (tf * (k1 + 1) / denom))
+                if acc_decoded is not None:
+                    acc_decoded.add(1)
+            return got
+
+        for qi, seq in enumerate(token_seqs):
+            qtf: dict[str, int] = {}
+            for t in seq:
+                if t in idf_map:
+                    qtf[t] = qtf.get(t, 0) + 1
+            # per-range summed bound for THIS query (weight = idf·qtf:
+            # a term's max total contribution incl. query multiplicity)
+            rb: dict[int, float] = {}
+            for (rid, term), mu in max_unit.items():
+                c = qtf.get(term)
+                if c:
+                    rb[rid] = rb.get(rid, 0.0) + idf_map[term] * c * mu
+            if not rb:
+                continue
+            order = sorted(rb.items(), key=lambda kv: (-kv[1], kv[0]))
+            run_d = np.empty(0, dtype=np.int64)
+            run_s = np.empty(0)
+            theta = float("-inf")
+            for rid, bound in order:
+                if (block_skip and len(run_d) >= k
+                        and bound < theta - 1e-9 * abs(theta) - 1e-12):
+                    # bounds only fall from here and θ only rises
+                    break
+                d_all = np.concatenate(
+                    [decode_row(i)[0] for term in qtf
+                     for i in by_range_term.get((rid, term), ())])
+                uniq = np.unique(d_all)
+                totals = np.zeros(len(uniq))
+                # accumulate in QUERY TOKEN order (repeats included) —
+                # skipping a doc a term doesn't match equals +0.0 bitwise
+                for tok in seq:
+                    for i in by_range_term.get((rid, tok), ()):
+                        d, s = decoded[i]
+                        totals[np.searchsorted(uniq, d)] += s
+                # each doc lives in exactly one range → concat never
+                # duplicates; keep only the running local top-k
+                run_d = np.concatenate([run_d, uniq])
+                run_s = np.concatenate([run_s, totals])
+                sel = np.lexsort((run_d, -run_s))[:k]
+                run_d, run_s = run_d[sel], run_s[sel]
+                if len(run_d) >= k:
+                    theta = run_s[-1]
+            if not len(run_d):
+                continue
+            out = {"doc_id": run_d, "score": run_s}
+            if with_query_id:
+                out = {"query_id": np.full(len(run_d), qi, dtype=np.int32),
+                       **out}
+            yield pd.DataFrame(out)
+
+    return local_topk
+
+
 def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
-                     k: int = 10) -> DataFrame:
+                     k: int = 10, block_skip: bool = True,
+                     stats: dict | None = None) -> DataFrame:
     """Low-latency exact BM25 top-k over the warm DOC-SHARDED serving
     layout (``InvertedIndex.warm``): postings are resident in executor
     memory re-sharded by ``range_id``, so every document's complete
@@ -223,49 +363,35 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
     every doc's full score is computed in exactly one shard, so the global
     top-k is a subset of the union of local top-ks, and per-doc scores are
     accumulated in QUERY TOKEN ORDER (bit-identical to the exact path's
-    fold and to BM25Okapi — see ``_fold_scores``)."""
+    fold and to BM25Okapi — see ``_fold_scores``).
+
+    ``block_skip`` enables per-shard block-max skipping (default on; see
+    ``_served_local_topk`` — bitwise-identical either way). Pass a dict
+    as ``stats`` to receive ``decoded_blocks``/``total_blocks``
+    accumulators, readable after the action completes."""
     idf = query_term_idf(spark, index, query)
     if not idf:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    k1, b = index.cfg.bm25.k1, index.cfg.bm25.b
-    avgdl = index.avgdl
-    token_seq = tokenize_k2_py(query)
-
-    def local_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-        per_term: dict[str, list] = {}
-        for pdf in it:
-            for term, n, db, tb, lb in zip(
-                    pdf["term"], pdf["n"], pdf["doc_bytes"],
-                    pdf["tf_bytes"], pdf["dl_bytes"]):
-                d, t, ln = decode_block(bytes(db), bytes(tb), bytes(lb),
-                                        int(n))
-                tf = t.astype(np.float64)
-                denom = tf + k1 * (1 - b + b * ln.astype(np.float64) / avgdl)
-                per_term.setdefault(term, []).append(
-                    (d, idf[term] * (tf * (k1 + 1) / denom)))
-        if not per_term:
-            return
-        uniq = np.unique(np.concatenate(
-            [d for parts in per_term.values() for d, _ in parts]))
-        totals = np.zeros(len(uniq))
-        # accumulate in QUERY TOKEN order (repeats included) — skipping a
-        # doc a term doesn't match equals BM25Okapi's +0.0 bitwise
-        for tok in token_seq:
-            for d, s in per_term.get(tok, ()):
-                pos = np.searchsorted(uniq, d)
-                totals[pos] += s
-        top = np.lexsort((uniq, -totals))[:k]
-        yield pd.DataFrame({"doc_id": uniq[top], "score": totals[top]})
-
+    acc_d = acc_t = None
+    if stats is not None:
+        acc_d = spark.sparkContext.accumulator(0)
+        acc_t = spark.sparkContext.accumulator(0)
+        stats["decoded_blocks"] = acc_d
+        stats["total_blocks"] = acc_t
+    kernel = _served_local_topk(
+        [tokenize_k2_py(query)], idf, index.cfg.bm25.k1, index.cfg.bm25.b,
+        index.avgdl, k, block_skip, with_query_id=False,
+        acc_decoded=acc_d, acc_total=acc_t)
     blocks = index.serving_df(spark).filter(
         F.col("term").isin(sorted(idf)))
-    local = blocks.mapInPandas(local_topk, schema=RESULT_SCHEMA)
+    local = blocks.mapInPandas(kernel, schema=RESULT_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def bm25_topk_served_batch(spark: SparkSession, index: InvertedIndex,
-                           queries: list[str], k: int = 10) -> DataFrame:
+                           queries: list[str], k: int = 10,
+                           block_skip: bool = True,
+                           stats: dict | None = None) -> DataFrame:
     """Batch form of ``bm25_topk_served``: ALL queries answered in ONE map
     stage over the warm doc-sharded serving layout, instead of one Spark
     action per query (at toy scale each action costs ~0.3s of pure
@@ -289,41 +415,18 @@ def bm25_topk_served_batch(spark: SparkSession, index: InvertedIndex,
     known = sorted(idf_map)
     if not known:
         return spark.createDataFrame([], "query_id int, " + RESULT_SCHEMA)
-    k1, b = index.cfg.bm25.k1, index.cfg.bm25.b
-    avgdl = index.avgdl
-
-    def local_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-        per_term: dict[str, list] = {}
-        for pdf in it:
-            for term, n, db, tb, lb in zip(
-                    pdf["term"], pdf["n"], pdf["doc_bytes"],
-                    pdf["tf_bytes"], pdf["dl_bytes"]):
-                d, t, ln = decode_block(bytes(db), bytes(tb), bytes(lb),
-                                        int(n))
-                tf = t.astype(np.float64)
-                denom = tf + k1 * (1 - b + b * ln.astype(np.float64) / avgdl)
-                per_term.setdefault(term, []).append(
-                    (d, idf_map[term] * (tf * (k1 + 1) / denom)))
-        if not per_term:
-            return
-        for qi, seq in enumerate(token_seqs):
-            if not any(t in per_term for t in seq):
-                continue
-            uniq = np.unique(np.concatenate(
-                [d for t in set(seq) if t in per_term
-                 for d, _ in per_term[t]]))
-            totals = np.zeros(len(uniq))
-            for tok in seq:
-                for d, s in per_term.get(tok, ()):
-                    totals[np.searchsorted(uniq, d)] += s
-            top = np.lexsort((uniq, -totals))[:k]
-            yield pd.DataFrame({"query_id": np.full(len(top), qi,
-                                                    dtype=np.int32),
-                                "doc_id": uniq[top], "score": totals[top]})
-
+    acc_d = acc_t = None
+    if stats is not None:
+        acc_d = spark.sparkContext.accumulator(0)
+        acc_t = spark.sparkContext.accumulator(0)
+        stats["decoded_blocks"] = acc_d
+        stats["total_blocks"] = acc_t
+    kernel = _served_local_topk(
+        token_seqs, idf_map, index.cfg.bm25.k1, index.cfg.bm25.b,
+        index.avgdl, k, block_skip, with_query_id=True,
+        acc_decoded=acc_d, acc_total=acc_t)
     blocks = index.serving_df(spark).filter(F.col("term").isin(known))
-    local = blocks.mapInPandas(local_topk,
+    local = blocks.mapInPandas(kernel,
                                schema="query_id int, " + RESULT_SCHEMA)
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
@@ -394,7 +497,8 @@ def _fine_prune_keep(meta: DataFrame, theta: float) -> DataFrame:
 def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
                      k: int = 10, seed_ranges: int = 8,
                      min_ranges_to_prune: int = 1024,
-                     fine_prune: bool = True) -> DataFrame:
+                     fine_prune: bool = True,
+                     stats: dict | None = None) -> DataFrame:
     """Rank-identical to ``bm25_topk_exact``; skips doc-ranges whose summed
     per-term upper bounds cannot reach the k-th best score. Falls through
     to the exact single-action path when the query touches few ranges
@@ -417,10 +521,16 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
     # (A query's terms can only touch a subset of these; if the corpus
     # itself has few ranges, pruning machinery can't win.)
     n_ranges = max(1, index.n_docs >> index.cfg.index.range_shift)
+    acc = _mk_decode_acc(spark, stats)
     if n_ranges < min_ranges_to_prune:
+        if stats is not None:
+            stats["pruning_engaged"] = False
         joined = blocks.drop("ub").join(F.broadcast(wdf), "term")
-        return _topk(_score_weighted_blocks(joined, index, False),
+        return _topk(_score_weighted_blocks(joined, index, False,
+                                            acc_blocks=acc),
                      token_seq, k)
+    if stats is not None:
+        stats["pruning_engaged"] = True
 
     # Per-range upper bound: Σ_t max over t's blocks in the range.
     range_bounds = (blocks.groupBy("range_id", "term")
@@ -437,7 +547,8 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
         seed_blocks = blocks.filter(F.col("range_id").isin(seed)) \
             .join(F.broadcast(wdf), "term")
         seed_scored = _topk(
-            _score_weighted_blocks(seed_blocks, index, False),
+            _score_weighted_blocks(seed_blocks, index, False,
+                                   acc_blocks=acc),
             token_seq, k).collect()
         theta = (seed_scored[k - 1]["score"]
                  if len(seed_scored) >= k else float("-inf"))
@@ -467,7 +578,8 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
             rest_blocks = rest_blocks.join(
                 keep, ["range_id", "term", "block_id"], "left_semi")
         rest_blocks = rest_blocks.join(F.broadcast(wdf), "term")
-        rest = _topk(_score_weighted_blocks(rest_blocks, index, False),
+        rest = _topk(_score_weighted_blocks(rest_blocks, index, False,
+                                            acc_blocks=acc),
                      token_seq, k)
         seed_df = spark.createDataFrame(
             [(r["doc_id"], r["score"]) for r in seed_scored], RESULT_SCHEMA)

@@ -64,6 +64,118 @@ def test_served_batch_topk_equals_per_query(spark, small_index):
             f"query {qi!r}: batch scores not bitwise-equal"
 
 
+@pytest.mark.parametrize("query", QUERIES)
+def test_served_block_skip_bitwise(spark, small_index, query):
+    """Served WITH per-shard block-max skipping must be BITWISE-identical
+    to served without (same docs, same float scores) — skipping a range
+    drops whole sub-θ docs, never a term's contribution."""
+    from review_recommender_spark.query.bm25 import bm25_topk_served
+    small_index.warm(spark, serving_shards=5)
+    plain = bm25_topk_served(spark, small_index, query, k=10,
+                             block_skip=False).collect()
+    skipped = bm25_topk_served(spark, small_index, query, k=10,
+                               block_skip=True).collect()
+    assert [r["doc_id"] for r in skipped] == [r["doc_id"] for r in plain]
+    assert [r["score"] for r in skipped] == [r["score"] for r in plain]
+
+
+def test_served_batch_block_skip_bitwise(spark, small_index):
+    """Batch form: bitwise identity with skipping on, counters populated.
+    (On this uniform synthetic corpus the summed per-term range bounds
+    rarely drop below θ, so no decode-count assertion here — engagement
+    is proven on a constructed skewed corpus below, the shape real text
+    has.)"""
+    from review_recommender_spark.query.bm25 import bm25_topk_served_batch
+    small_index.warm(spark, serving_shards=5)
+    plain = bm25_topk_served_batch(spark, small_index, QUERIES, k=10,
+                                   block_skip=False).collect()
+    stats: dict = {}
+    skipped = bm25_topk_served_batch(spark, small_index, QUERIES, k=10,
+                                     block_skip=True,
+                                     stats=stats).collect()
+    key = lambda r: (r["query_id"], r["doc_id"], r["score"])  # noqa: E731
+    assert sorted(map(key, skipped)) == sorted(map(key, plain))
+    decoded = stats["decoded_blocks"].value
+    total = stats["total_blocks"].value
+    assert 0 < decoded <= total, (decoded, total)
+
+
+def test_served_block_skip_engages_on_skewed_tf(spark, tmp_path):
+    """Block-max skipping must actually SKIP when the data is skewed —
+    the shape real text has (Zipfian tf, hot ranges): docs 0-63 carry the
+    query term with tf=10 while every other range's docs carry it once in
+    a short doc. The hot range's local top-k sets θ above every other
+    range's bound, so one shard-resident decode covers the answer and the
+    remaining ~15 range-blocks are never decoded. Bitwise identity and
+    the decode counters are both asserted."""
+    import dataclasses
+
+    from review_recommender_spark.config import EngineConfig, bm25_north
+    from review_recommender_spark.index.build import build_index
+    from review_recommender_spark.index.tableio import TableIO
+    from review_recommender_spark.query.bm25 import bm25_topk_served
+
+    rows = [(i, " ".join(["signal"] * 10) + f" pad{i}") if i < 64
+            else (i, f"signal pad{i}")
+            for i in range(1024)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = EngineConfig(bm25=bm25_north())
+    cfg = dataclasses.replace(
+        cfg, index=dataclasses.replace(cfg.index, range_shift=6,
+                                       term_buckets=8))
+    idx = build_index(spark, docs, TableIO(str(tmp_path / "skew")), cfg)
+    idx.warm(spark, serving_shards=1)
+    try:
+        plain = bm25_topk_served(spark, idx, "signal", k=10,
+                                 block_skip=False).collect()
+        stats: dict = {}
+        skipped = bm25_topk_served(spark, idx, "signal", k=10,
+                                   block_skip=True, stats=stats).collect()
+    finally:
+        idx.unwarm()
+    assert [r["doc_id"] for r in skipped] == [r["doc_id"] for r in plain]
+    assert [r["score"] for r in skipped] == [r["score"] for r in plain]
+    decoded = stats["decoded_blocks"].value
+    total = stats["total_blocks"].value
+    # 16 ranges hold the term; only the hot range (and at most a tie
+    # neighbor) should decode
+    assert total >= 16, total
+    assert decoded * 4 <= total, (decoded, total)
+
+
+def test_served_block_skip_ties_at_theta(spark, tmp_path):
+    """Hundreds of identical docs → every range's bound TIES the local
+    θ. The skip rule must keep θ-tied ranges (ulp slack) so tied docs
+    are scored and the doc_id tie-break matches the unskipped path."""
+    import dataclasses
+
+    from review_recommender_spark.config import EngineConfig, bm25_north
+    from review_recommender_spark.index.build import build_index
+    from review_recommender_spark.index.tableio import TableIO
+    from review_recommender_spark.query.bm25 import bm25_topk_served
+
+    rows = [(i, "usb charging cable long quality product")
+            if i % 3 == 0 else
+            (i, f"filler{i} unrelated body text {i}")
+            for i in range(900)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = EngineConfig(bm25=bm25_north())
+    cfg = dataclasses.replace(
+        cfg, index=dataclasses.replace(cfg.index, range_shift=6,
+                                       term_buckets=8))
+    idx = build_index(spark, docs, TableIO(str(tmp_path / "sk_ties")), cfg)
+    idx.warm(spark, serving_shards=4)
+    try:
+        plain = bm25_topk_served(spark, idx, "usb charging cable", k=10,
+                                 block_skip=False).collect()
+        skipped = bm25_topk_served(spark, idx, "usb charging cable", k=10,
+                                   block_skip=True).collect()
+    finally:
+        idx.unwarm()
+    assert [r["doc_id"] for r in skipped] == [r["doc_id"] for r in plain]
+    assert [r["score"] for r in skipped] == [r["score"] for r in plain]
+
+
 def test_pruned_small_seed_still_safe(spark, small_index):
     """Even a 1-range seed must stay rank-identical (θ only prunes ranges
     whose upper bound cannot reach it)."""
