@@ -583,22 +583,7 @@ def build_index(spark: SparkSession, docs: DataFrame | str, io: TableIO,
     io.write(doc_stats, DOC_STATS,
              lineage={"parent": io.current_snapshot(LOCAL_TF)["snapshot_id"]},
              metrics={})
-    # corpus scalars WITHOUT a Spark job: n_docs from parquet footers
-    # (metadata-only at any scale); total_tokens via a driver-side pyarrow
-    # column read while doc_stats is driver-sized, else one Spark agg.
-    # STRICT footer read: n_docs drives idf and avgdl, so a footer-read
-    # failure must raise, not silently yield 0 (→ garbage idf, avgdl=0).
-    from .tableio import parquet_row_count_strict
-    n_docs = parquet_row_count_strict(io.path(DOC_STATS))
-    if n_docs <= cfg.index.driver_pull_max_docs:
-        import pyarrow.dataset as pa_ds
-        tbl = pa_ds.dataset(io.path(DOC_STATS), format="parquet") \
-            .to_table(columns=["doc_len"])
-        total_tokens = int(tbl["doc_len"].to_numpy().sum()) if n_docs else 0
-    else:
-        total_tokens = io.read(spark, DOC_STATS).agg(
-            F.sum("doc_len")).collect()[0][0] or 0
-    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+    n_docs, total_tokens, avgdl = _doc_scalars(spark, io, cfg)
 
     # ---- Stage C: the (term, range) shuffle → encoded posting blocks ----
     if shuffle_partitions is None:
@@ -639,7 +624,39 @@ def build_index(spark: SparkSession, docs: DataFrame | str, io: TableIO,
                       "shuffle_partitions": shuffle_partitions},
              metrics={})
 
-    # ---- Stage D: term_stats from block metadata (tiny) ----
+    return _write_stats_tables(spark, io, cfg, n_docs, avgdl, total_tokens)
+
+
+def _doc_scalars(spark: SparkSession, io: TableIO,
+                 cfg: EngineConfig) -> tuple[int, int, float]:
+    """(n_docs, total_tokens, avgdl) from io's DOC_STATS — WITHOUT a
+    Spark job where possible: n_docs from parquet footers (metadata-only
+    at any scale); total_tokens via a driver-side pyarrow column read
+    while doc_stats is driver-sized, else one Spark agg. STRICT footer
+    read: n_docs drives idf and avgdl, so a footer-read failure must
+    raise, not silently yield 0 (→ garbage idf, avgdl=0)."""
+    from .tableio import parquet_row_count_strict
+    n_docs = parquet_row_count_strict(io.path(DOC_STATS))
+    if n_docs <= cfg.index.driver_pull_max_docs:
+        import pyarrow.dataset as pa_ds
+        tbl = pa_ds.dataset(io.path(DOC_STATS), format="parquet") \
+            .to_table(columns=["doc_len"])
+        total_tokens = int(tbl["doc_len"].to_numpy().sum()) if n_docs else 0
+    else:
+        total_tokens = io.read(spark, DOC_STATS).agg(
+            F.sum("doc_len")).collect()[0][0] or 0
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+    return n_docs, total_tokens, avgdl
+
+
+def _write_stats_tables(spark: SparkSession, io: TableIO, cfg: EngineConfig,
+                        n_docs: int, avgdl: float,
+                        total_tokens: int) -> InvertedIndex:
+    """Stage D + corpus_stats over io's already-written POSTINGS table;
+    shared by the full build and the delta merge (both need term_stats
+    recomputed globally — df changes for touched terms and idf depends on
+    the NEW n_docs for every term, but the input is block METADATA, so
+    this stays tiny at any corpus size)."""
     blocks = io.read(spark, POSTINGS)
     df_per_term = blocks.groupBy("term").agg(F.sum("n").alias("df"))
     # log(N - df + 0.5) - log(df + 0.5), kept as a difference of logs (not a
@@ -706,3 +723,172 @@ def build_index(spark: SparkSession, docs: DataFrame | str, io: TableIO,
 
     return InvertedIndex(io=io, cfg=cfg, n_docs=int(n_docs),
                          avgdl=float(avgdl), vocab_size=int(vocab_size))
+
+
+def _blocks_to_partials():
+    """Inverse of the Stage C encode for merge purposes: decode persisted
+    posting-block rows back into ``PARTIAL_SCHEMA`` rows (one partial per
+    block — ``_merge_encode_partials`` accepts any partial granularity
+    and re-sorts/re-encodes per (term, range) group). Vectorized per
+    Arrow batch; the decode itself is the same bulk varint kernel the
+    query path uses."""
+
+    def unpack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codec import decode_block
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            terms, rids, ns = [], [], []
+            da, ta, la = [], [], []
+            for term, rid, n, db, tb, lb in zip(
+                    pdf["term"], pdf["range_id"], pdf["n"],
+                    pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"]):
+                d, t, ln = decode_block(bytes(db), bytes(tb), bytes(lb),
+                                        int(n))
+                terms.append(term)
+                rids.append(int(rid))
+                ns.append(int(n))
+                da.append(d.astype(np.int64).tobytes())
+                ta.append(t.astype(np.int32).tobytes())
+                la.append(ln.astype(np.int32).tobytes())
+            yield pd.DataFrame({"term": terms, "range_id": rids, "n": ns,
+                                "doc_arr": da, "tf_arr": ta, "dl_arr": la})
+
+    return unpack
+
+
+DELTA_LOCAL_TF = "delta_local_tf"
+DELTA_PARTIALS = "delta_partials"
+
+
+def delta_merge_index(spark: SparkSession, main: InvertedIndex,
+                      delta_docs: DataFrame | str, out_io: TableIO, *,
+                      doc_id_col: str = "doc_id", text_col: str = "text",
+                      shuffle_partitions: int | None = None,
+                      assert_new_docs: bool = True) -> InvertedIndex:
+    """Incremental index maintenance: merge an epoch of NEW documents
+    (e.g. the staging table ``streaming.ingest.stage_for_indexing``
+    appends to — the Spark-native analogue of the reference's resume
+    shard append, nlp/11_build_product_embeddings.py:127-167) into an
+    existing index WITHOUT re-running Stage A/C over the main corpus.
+
+    Cost model — O(delta + touched groups), not O(corpus):
+      1. Stage A runs over the DELTA only (tokenize → occurrence rows →
+         map-side packed partials, the same ``_pack_partials`` kernel as
+         a full build).
+      2. The delta's distinct (term, range_id) keys mark the TOUCHED
+         posting groups. With monotonically increasing doc_ids an
+         epoch's ranges are almost entirely new, so the touched set is
+         ~|delta vocab| keys — broadcastable for epoch-sized deltas
+         (a backfill that rewrites most ranges should rebuild instead).
+      3. Touched main blocks are decoded back into partials
+         (``_blocks_to_partials``) and merged with the delta partials by
+         the SAME shuffle-side kernel as the packed build
+         (``_merge_encode_partials``) — so a touched group's blocks are
+         byte-identical to a from-scratch build over corpus+delta
+         (encoding is content-determined per group).
+      4. Untouched blocks pass through unchanged. (This plain-parquet
+         layer rewrites their bytes into the new snapshot's directory;
+         an Iceberg runtime would re-reference the untouched data files
+         metadata-only. The COMPUTE saved — tokenizing and shuffling the
+         main corpus — is the scale win either way.)
+      5. term_stats + corpus scalars are recomputed globally from block
+         metadata (idf depends on the new n_docs for EVERY term) — tiny
+         at any scale, shared ``_write_stats_tables``.
+
+    Byte-identity with a from-scratch rebuild over corpus+delta is
+    pytest-gated (tests/test_streaming.py::test_delta_merge_*). The new
+    index is written to ``out_io`` with lineage pointing at the parent
+    index's snapshot ids (the child-snapshot contract).
+
+    ``assert_new_docs``: the merge kernel SUMS tf of duplicate
+    (term, range, doc) postings, which is only correct when delta doc_ids
+    are disjoint from the main corpus — re-indexing an existing doc must
+    go through a rebuild (or a future delete+merge). The default check
+    costs one broadcast-semi-join count over doc_stats."""
+    cfg = main.cfg
+    if isinstance(delta_docs, str):
+        delta_docs = spark.read.parquet(delta_docs)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions"))
+    parent_posts = main.io.current_snapshot(POSTINGS) or {}
+    parent_ds = main.io.current_snapshot(DOC_STATS) or {}
+
+    # ---- Stage A (delta only): occurrences + sentinels, staged ----
+    tf_df = _tf_rows(_tokens_df(delta_docs, cfg, doc_id_col, text_col),
+                     cfg.index.token_cap)
+    out_io.write(tf_df, DELTA_LOCAL_TF, partition_by=["is_sentinel"],
+                 lineage={"stage": "A-delta",
+                          "parent_postings": parent_posts.get("snapshot_id")},
+                 metrics={})
+    dtf = out_io.read(spark, DELTA_LOCAL_TF)
+    d_sent = dtf.filter(F.col("is_sentinel") == 1)
+
+    main_ds = main.doc_stats(spark)
+    if assert_new_docs:
+        overlap = (main_ds.join(
+            F.broadcast(d_sent.select("doc_id")), "doc_id", "left_semi")
+            .limit(1).count())
+        if overlap:
+            raise ValueError(
+                "delta_merge_index: delta contains doc_ids already in the "
+                "main index — tf would be double-counted; re-indexing "
+                "existing docs requires a rebuild")
+
+    # ---- merged doc_stats (+ corpus scalars from its footers) ----
+    merged_ds = main_ds.unionByName(
+        d_sent.select("doc_id", F.col("dl").alias("doc_len")))
+    out_io.write(merged_ds, DOC_STATS,
+                 lineage={"parent": parent_ds.get("snapshot_id"),
+                          "mode": "delta_merge"},
+                 metrics={})
+    n_docs, total_tokens, avgdl = _doc_scalars(spark, out_io, cfg)
+
+    # ---- Stage C (delta only): map-side packed partials, staged ----
+    tfp = (dtf.filter(F.col("is_sentinel") == 0)
+           .select("doc_id", "dl", "term")
+           .withColumn("range_id",
+                       F.shiftright(F.col("doc_id"),
+                                    cfg.index.range_shift)))
+    out_io.write(tfp.mapInPandas(_pack_partials(cfg),
+                                 schema=PARTIAL_SCHEMA),
+                 DELTA_PARTIALS,
+                 lineage={"stage": "C-delta"}, metrics={})
+    dp = out_io.read(spark, DELTA_PARTIALS)
+
+    # ---- split main postings by touched (term, range) keys ----
+    touched = F.broadcast(dp.select("term", "range_id").distinct())
+    mp = main.postings(spark)
+    untouched = mp.join(touched, ["term", "range_id"], "left_anti")
+    touched_main = mp.join(touched, ["term", "range_id"], "left_semi")
+
+    # ---- merge touched groups through the shared shuffle-side kernel ----
+    main_parts = (touched_main
+                  .select("term", "range_id", "n", "doc_bytes", "tf_bytes",
+                          "dl_bytes")
+                  .mapInPandas(_blocks_to_partials(),
+                               schema=PARTIAL_SCHEMA))
+    merged_blocks = (main_parts.unionByName(dp)
+                     .repartition(shuffle_partitions, "term", "range_id")
+                     .sortWithinPartitions("term", "range_id")
+                     .mapInPandas(_merge_encode_partials(cfg),
+                                  schema=BLOCK_SCHEMA))
+    block_cols = [c.split(" ")[0] for c in BLOCK_SCHEMA.split(", ")]
+    new_posts = (untouched.select(*block_cols)
+                 .unionByName(merged_blocks)
+                 .withColumn("term_bucket",
+                             term_bucket_col(F.col("term"),
+                                             cfg.index.term_buckets))
+                 .repartition(cfg.index.term_buckets, "term_bucket"))
+    out_io.write(new_posts, POSTINGS, partition_by=["term_bucket"],
+                 lineage={"parent": parent_posts.get("snapshot_id"),
+                          "mode": "delta_merge",
+                          "shuffle_partitions": shuffle_partitions},
+                 metrics={})
+
+    return _write_stats_tables(spark, out_io, cfg, n_docs, avgdl,
+                               total_tokens)

@@ -196,3 +196,138 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
             .agg(F.sum("s").alias("ns"), F.count("*").alias("ne"))
             .collect())}
     assert got == exp
+
+
+def _delta_cfg():
+    import dataclasses
+
+    from review_recommender_spark.config import EngineConfig, bm25_north
+    cfg = EngineConfig(bm25=bm25_north())
+    return dataclasses.replace(
+        cfg, index=dataclasses.replace(cfg.index, range_shift=6,
+                                       term_buckets=8))
+
+
+def test_delta_merge_append_byte_identical_with_lineage(spark, tmp_path):
+    """Incremental maintenance, the common shape: an epoch of NEW doc_ids
+    beyond the main corpus (mostly-new ranges → most main groups pass
+    through untouched). The merged index must equal a from-scratch build
+    over corpus+delta BYTE-FOR-BYTE, and the new snapshot's lineage must
+    point at the parent index's postings snapshot."""
+    import numpy as np
+
+    from review_recommender_spark.index.build import (POSTINGS, build_index,
+                                                      delta_merge_index)
+    from review_recommender_spark.index.tableio import TableIO
+    from tests.test_resume import _collect_index
+
+    cfg = _delta_cfg()
+    main_pages = spark.createDataFrame(pages_pdf(np.arange(600)),
+                                       schema=PAGES_SCHEMA)
+    delta_pages = spark.createDataFrame(pages_pdf(np.arange(600, 800)),
+                                        schema=PAGES_SCHEMA)
+    all_pages = spark.createDataFrame(pages_pdf(np.arange(800)),
+                                      schema=PAGES_SCHEMA)
+
+    main = build_index(spark, main_pages, TableIO(str(tmp_path / "main")),
+                       cfg)
+    parent_snap = main.io.current_snapshot(POSTINGS)["snapshot_id"]
+    merged = delta_merge_index(spark, main, delta_pages,
+                               TableIO(str(tmp_path / "merged")))
+    scratch = build_index(spark, all_pages,
+                          TableIO(str(tmp_path / "scratch")), cfg)
+
+    assert _collect_index(spark, merged) == _collect_index(spark, scratch)
+    assert (merged.n_docs, merged.avgdl, merged.vocab_size) \
+        == (scratch.n_docs, scratch.avgdl, scratch.vocab_size)
+    snap = merged.io.current_snapshot(POSTINGS)
+    assert snap["lineage"]["parent"] == parent_snap
+    assert snap["lineage"]["mode"] == "delta_merge"
+
+
+def test_delta_merge_interleaved_ranges_byte_identical(spark, tmp_path):
+    """Worst case for the merge kernel: delta doc_ids INTERLEAVE with the
+    main corpus inside existing ranges, so touched groups must re-sort
+    main + delta postings together and re-cut every block boundary."""
+    import numpy as np
+
+    from review_recommender_spark.index.build import (build_index,
+                                                      delta_merge_index)
+    from review_recommender_spark.index.tableio import TableIO
+    from tests.test_resume import _collect_index
+
+    cfg = _delta_cfg()
+    ids = np.arange(500)
+    main_pages = spark.createDataFrame(pages_pdf(ids[ids % 5 != 0]),
+                                       schema=PAGES_SCHEMA)
+    delta_pages = spark.createDataFrame(pages_pdf(ids[ids % 5 == 0]),
+                                        schema=PAGES_SCHEMA)
+    all_pages = spark.createDataFrame(pages_pdf(ids), schema=PAGES_SCHEMA)
+
+    main = build_index(spark, main_pages, TableIO(str(tmp_path / "mi")),
+                       cfg)
+    merged = delta_merge_index(spark, main, delta_pages,
+                               TableIO(str(tmp_path / "me")))
+    scratch = build_index(spark, all_pages, TableIO(str(tmp_path / "sc")),
+                          cfg)
+    assert _collect_index(spark, merged) == _collect_index(spark, scratch)
+
+
+def test_delta_merge_rejects_duplicate_doc_ids(spark, tmp_path):
+    """Re-indexing an existing doc through the merge would double-count
+    its tf — the guard must refuse."""
+    import numpy as np
+
+    from review_recommender_spark.index.build import (build_index,
+                                                      delta_merge_index)
+    from review_recommender_spark.index.tableio import TableIO
+
+    cfg = _delta_cfg()
+    pages = spark.createDataFrame(pages_pdf(np.arange(300)),
+                                  schema=PAGES_SCHEMA)
+    main = build_index(spark, pages, TableIO(str(tmp_path / "dm")), cfg)
+    dup = spark.createDataFrame(pages_pdf(np.arange(250, 350)),
+                                schema=PAGES_SCHEMA)
+    with pytest.raises(ValueError, match="already in the main index"):
+        delta_merge_index(spark, main, dup, TableIO(str(tmp_path / "dd")))
+
+
+def test_delta_merge_from_staged_stream(spark, tmp_path):
+    """The composition the operator exists for: new pages arrive on a
+    stream, ``stage_for_indexing`` lands them in a staging table, and
+    ``delta_merge_index`` folds the staged epoch into the main index —
+    equal to a from-scratch rebuild over main+staged."""
+    import numpy as np
+
+    from review_recommender_spark.index.build import (build_index,
+                                                      delta_merge_index)
+    from review_recommender_spark.index.tableio import TableIO
+    from tests.test_resume import _collect_index
+
+    cfg = _delta_cfg()
+    main_pdf = pages_pdf(np.arange(400))
+    delta_pdf = pages_pdf(np.arange(400, 520))
+    main = build_index(spark,
+                       spark.createDataFrame(main_pdf, schema=PAGES_SCHEMA),
+                       TableIO(str(tmp_path / "sm")), cfg)
+
+    src = tmp_path / "sd_src"
+    (spark.createDataFrame(delta_pdf, schema=PAGES_SCHEMA)
+     .coalesce(1).write.parquet(str(src / "b1")))
+    staging = str(tmp_path / "sd_staging")
+    schema = spark.read.parquet(str(src / "b1")).schema
+    s = (spark.readStream.schema(schema)
+         .option("recursiveFileLookup", "true").parquet(str(src)))
+    q = stage_for_indexing(s, staging, str(tmp_path / "sd_ck")).start()
+    q.awaitTermination(120)
+
+    staged = spark.read.option("recursiveFileLookup", "true") \
+        .parquet(staging)
+    merged = delta_merge_index(spark, main, staged,
+                               TableIO(str(tmp_path / "smerged")))
+    scratch = build_index(
+        spark,
+        spark.createDataFrame(pages_pdf(np.arange(520)),
+                              schema=PAGES_SCHEMA),
+        TableIO(str(tmp_path / "sscratch")), cfg)
+    assert _collect_index(spark, merged) == _collect_index(spark, scratch)
