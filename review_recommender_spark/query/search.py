@@ -248,7 +248,11 @@ def bm25_scores_batch_served(spark: SparkSession, index: InvertedIndex,
     from ..functions.tokenize import tokenize_k2_py
     from ..index.codec import decode_block
     idf = index.idf_lookup()
-    assert idf is not None, "bm25_scores_batch_served needs a warm index"
+    if idf is None:
+        # cold index: degrade to the (slower, shuffle+join) cold path
+        # rather than erroring — same values, same fold order, so the
+        # answer is identical either way (test_cold_fallback)
+        return bm25_scores_batch(spark, index, queries)
     token_seqs = [tokenize_k2_py(q) for q in queries]
     known = sorted({t for seq in token_seqs for t in seq if t in idf})
     if not known:

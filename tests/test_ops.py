@@ -333,6 +333,30 @@ def test_hybrid_served_bm25_parity(spark, small_pages, small_index):
         assert (cold[col].to_numpy() == warm[col].to_numpy()).all(), col
 
 
+def test_served_batch_cold_fallback(spark, small_index):
+    """Calling the served-batch scorer on a COLD index must degrade to
+    the join path (same values), not raise — a misrouted caller gets a
+    slower answer, never an AssertionError."""
+    import dataclasses
+
+    from review_recommender_spark.query.search import (bm25_scores_batch,
+                                                       bm25_scores_batch_served)
+
+    cold_idx = dataclasses.replace(small_index, _cached=None)
+    assert not cold_idx.is_warm()
+    queries = ["wireless bluetooth headphones", "yellow cat socks"]
+    got = (bm25_scores_batch_served(spark, cold_idx, queries)
+           .toPandas().sort_values(["query_id", "doc_id"])
+           .reset_index(drop=True))
+    want = (bm25_scores_batch(spark, cold_idx, queries)
+            .toPandas().sort_values(["query_id", "doc_id"])
+            .reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (got["_bm25_raw"].to_numpy()
+            == want["_bm25_raw"].to_numpy()).all()
+
+
 def test_embed_model_seam_lazy_singleton_and_batching(spark, small_pages,
                                                       tmp_path):
     """The M1 model seam: a heavyweight model object must load AT MOST
