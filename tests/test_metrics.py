@@ -8,9 +8,12 @@ import pytest
 from review_recommender_spark.evalx.metrics import (dcg_at_k, dcg_exp_at_k,
                                                     evaluate_query,
                                                     mean_metrics, mrr,
-                                                    ndcg_at_k,
+                                                    mrr_score, ndcg_at_k,
+                                                    ndcg_graded_at_k,
                                                     precision_at_k,
-                                                    recall_at_k)
+                                                    precision_score_at_k,
+                                                    recall_at_k,
+                                                    recall_score_at_k)
 
 
 def test_dcg_textbook():
@@ -65,7 +68,96 @@ def test_recall_divides_by_relevant_size():
 
 def test_precision():
     assert precision_at_k(["a", "x", "b", "y"], {"a", "b"}, 4) == 0.5
-    assert precision_at_k(["a"], {"a"}, 5) == pytest.approx(0.2)
+    # reference semantics: divide by len(top_k), NOT k — a 1-item result
+    # list that is relevant has precision 1.0 at any k
+    # (evals/performance_metrics.py:144-150)
+    assert precision_at_k(["a"], {"a"}, 5) == 1.0
+    assert precision_at_k([], {"a"}, 5) == 0.0
+
+
+# ---- verbatim ports of the reference's edge-case rows ----
+# (tests/test_performance_metrics.py:22-133, one named test per case)
+
+
+def test_ref_dcg_textbook_at_3():
+    relevance = [3, 2, 3, 0, 1, 2]
+    expected = 3.0 + 2.0 / math.log2(3) + 3.0 / math.log2(4)
+    assert dcg_at_k(relevance, 3) == pytest.approx(expected, abs=0.01)
+
+
+def test_ref_dcg_at_0_is_zero():
+    assert dcg_at_k([3, 2, 3, 0, 1, 2], 0) == 0.0
+    assert dcg_at_k([3, 2], -1) == 0.0
+
+
+def test_ref_dcg_at_1_is_first_relevance():
+    assert dcg_at_k([3, 2, 3, 0, 1, 2], 1) == 3.0
+
+
+def test_ref_ndcg_graded_bounded_and_perfect():
+    relevance = [3, 2, 3, 0, 1, 2]
+    ideal = sorted(relevance, reverse=True)
+    assert 0.0 <= ndcg_graded_at_k(relevance, ideal, 3) <= 1.0
+    assert ndcg_graded_at_k(ideal, ideal, 3) == pytest.approx(1.0, abs=0.01)
+
+
+def test_ref_ndcg_no_relevant_is_zero():
+    no_rel = [0, 0, 0]
+    assert ndcg_graded_at_k(no_rel, no_rel, 3) == 0.0
+
+
+def test_ref_mrr_first_position():
+    assert mrr_score([["item1", "item2", "item3"]],
+                     [{"item1", "item4"}]) == 1.0
+
+
+def test_ref_mrr_second_position():
+    assert mrr_score([["item1", "item2", "item3"]],
+                     [{"item2", "item4"}]) == 0.5
+
+
+def test_ref_mrr_no_relevant_is_zero():
+    assert mrr_score([["item1", "item2", "item3"]],
+                     [{"item4", "item5"}]) == 0.0
+
+
+def test_ref_mrr_multi_query_mean():
+    got = mrr_score([["item1", "item2", "item3"],
+                     ["item4", "item5", "item6"]],
+                    [{"item2"}, {"item4"}])
+    assert got == pytest.approx((0.5 + 1.0) / 2, abs=0.01)
+
+
+def test_ref_mrr_length_mismatch_raises():
+    with pytest.raises(ValueError):
+        mrr_score([["a"]], [{"a"}, {"b"}])
+
+
+def test_ref_recall_two_of_three():
+    got = recall_score_at_k([["item1", "item2", "item3", "item4", "item5"]],
+                            [{"item2", "item4", "item6"}], 5)
+    assert got == pytest.approx(2.0 / 3.0, abs=0.01)
+
+
+def test_ref_recall_perfect():
+    assert recall_score_at_k([["item1", "item2", "item3"]],
+                             [{"item1", "item2"}], 3) == 1.0
+
+
+def test_ref_recall_empty_relevant_is_zero():
+    assert recall_score_at_k([["item1", "item2", "item3"]], [set()], 3) == 0.0
+
+
+def test_ref_precision_two_of_five():
+    got = precision_score_at_k(
+        [["item1", "item2", "item3", "item4", "item5"]],
+        [{"item2", "item4", "item6"}], 5)
+    assert got == pytest.approx(2.0 / 5.0, abs=0.01)
+
+
+def test_ref_precision_perfect():
+    assert precision_score_at_k([["item1", "item2"]],
+                                [{"item1", "item2", "item3"}], 2) == 1.0
 
 
 def test_devset_jsonl_roundtrip(spark, tmp_path):
