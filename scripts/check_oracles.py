@@ -39,6 +39,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # the hybrid oracle computes its VALUES literal from this env var
+    # (default sf0.01) — it MUST match the sf dir the Spark queries run
+    # on, or the comparison is Spark@sf_dir vs oracle@other-sf: a
+    # guaranteed false MISMATCH on any non-default scale factor
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as E
     from review_recommender_spark.session import get_spark
     spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
