@@ -10,9 +10,21 @@ regime the pruned path is written for, standing in for 10^8 ranges at
 posting blocks each path decoded (Spark accumulators inside the decode
 kernel). Rank-identity is asserted per query.
 
+Two corpora, because block-max effectiveness is a property of the DATA:
+
+  uniform (default)  — the bench's synthetic pages. Every range contains
+      near-max-tf postings of every golden term, so the summed per-term
+      range bounds never drop below θ: pruning engages, skips nothing,
+      and the machinery (seed jobs + fine-prune pass) is pure overhead.
+      This is the honest adversarial case for any WAND-family method.
+  skewed (SPARK_GRAFT_CROSSOVER_SKEW=1) — the query term's tf is 10 in
+      8 hot ranges and 1 (in short docs) everywhere else: the Zipf-like
+      shape real text has. The seed ranges establish a θ no cold range's
+      bound can reach, so ~99.7% of blocks are never decoded.
+
 Usage: python scripts/pruned_crossover.py
 Env: SPARK_GRAFT_BENCH_DOCS (default 800000), SPARK_GRAFT_CPUS (8),
-     SPARK_GRAFT_RANGE_SHIFT (8).
+     SPARK_GRAFT_RANGE_SHIFT (8), SPARK_GRAFT_CROSSOVER_SKEW (0).
 Never run concurrently with other Spark sessions (contended numbers lie).
 """
 
@@ -50,12 +62,34 @@ def main() -> None:
                       shuffle_partitions=max(cpus, 8))
     tmp = tempfile.mkdtemp(prefix="rrs_crossover_", dir=shm)
     try:
+        from pyspark.sql import functions as F
+
+        skew = os.environ.get("SPARK_GRAFT_CROSSOVER_SKEW", "0") == "1"
         cfg = EngineConfig(bm25=bm25_north())
         cfg = dataclasses.replace(
             cfg, index=dataclasses.replace(cfg.index, range_shift=shift))
         corpus_path = os.path.join(tmp, "corpus")
-        pages_df(spark, n_docs, partitions=max(32, cpus * 2)) \
-            .write.mode("overwrite").parquet(corpus_path)
+        if skew:
+            hot_docs = 8 << shift  # 8 hot ranges
+            base = spark.range(n_docs).select(
+                F.col("id").alias("doc_id"))
+            filler = F.concat_ws(
+                " ", F.lit("page body text"),
+                F.concat(F.lit("w"), (F.col("doc_id") % 50000)))
+            hot = F.concat_ws(
+                " ", *([F.lit("signal")] * 10), filler, filler, filler)
+            cold = F.concat_ws(" ", F.lit("signal"), filler)
+            base.select(
+                "doc_id",
+                F.when(F.col("doc_id") < hot_docs, hot).otherwise(cold)
+                .alias("text")) \
+                .repartition(max(32, cpus * 2)) \
+                .write.mode("overwrite").parquet(corpus_path)
+            queries = ["signal"] * 3  # repeats = repeat-measure the shape
+        else:
+            pages_df(spark, n_docs, partitions=max(32, cpus * 2)) \
+                .write.mode("overwrite").parquet(corpus_path)
+            queries = list(GOLDEN_PHRASES)
         docs = spark.read.parquet(corpus_path)
         t0 = time.perf_counter()
         idx = build_index(spark, docs, TableIO(os.path.join(tmp, "idx")),
@@ -67,11 +101,11 @@ def main() -> None:
               f"ranges, {build_sec}s", flush=True)
 
         # one warmup action per path (codegen JIT + python worker spawn)
-        bm25_topk_exact(spark, idx, GOLDEN_PHRASES[0], k=10).collect()
-        bm25_topk_pruned(spark, idx, GOLDEN_PHRASES[0], k=10).collect()
+        bm25_topk_exact(spark, idx, queries[0], k=10).collect()
+        bm25_topk_pruned(spark, idx, queries[0], k=10).collect()
 
         rows = []
-        for qi, q in enumerate(GOLDEN_PHRASES):
+        for qi, q in enumerate(queries):
             se: dict = {}
             t0 = time.perf_counter()
             exact = bm25_topk_exact(spark, idx, q, k=10,
@@ -97,6 +131,7 @@ def main() -> None:
         import numpy as np
         summary = {
             "metric": "pruned_vs_exact_crossover",
+            "corpus": "skewed" if skew else "uniform",
             "n_docs": n_docs, "range_shift": shift, "n_ranges": n_ranges,
             "cpus": cpus, "build_sec": build_sec,
             "exact_p50_sec": round(float(np.median(
