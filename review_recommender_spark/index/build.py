@@ -431,6 +431,12 @@ class InvertedIndex:
           head shards (Zipf: the hot 10% of ranges serve most queries)
           and leave the tail on the on-disk pruned path
           (``bm25_topk_pruned``), which needs NO resident postings.
+          Within a warm shard, queries do NOT decode every resident
+          block: the served kernel block-max-skips ranges whose bound
+          cannot beat the shard-local top-k
+          (``query.bm25._served_local_topk``), so a head-term query at
+          10^9 docs decodes only the ranges that can compete, not the
+          term's whole resident posting list.
         The driver idf cache is ~60 B/term (str + float in a dict): the
         default ``idf_cache_max`` = 2M terms ≈ 120 MB driver RSS; larger
         vocabularies auto-fall-back to per-batch lookup jobs.
