@@ -2,8 +2,9 @@
 query path on one large corpus, asserting BITWISE-identical top-k.
 
 Paths: exact (single-action posting join), pruned (forced block-max),
-served (doc-sharded single query), served-batch (the zero-shuffle batch
-stage hybrid uses — new in round 3). The r2 evidence tied exact ≡ the
+served with per-shard block-max skipping (the round-5 default), served
+WITHOUT skipping, and served-batch (the zero-shuffle batch stage hybrid
+uses — new in round 3). The r2 evidence tied exact ≡ the
 BM25Okapi-formula numpy oracle at 800k docs; this script ties every
 engine path to exact at the same scale, so the whole family stays
 anchored to the oracle.
@@ -78,7 +79,11 @@ def main() -> None:
                                        min_ranges_to_prune=1).collect()]
             served = [(r["doc_id"], r["score"]) for r in
                       bm25_topk_served(spark, idx, q, k=k).collect()]
-            same = (exact == pruned == served == batch_top[qi])
+            served_ns = [(r["doc_id"], r["score"]) for r in
+                         bm25_topk_served(spark, idx, q, k=k,
+                                          block_skip=False).collect()]
+            same = (exact == pruned == served == served_ns
+                    == batch_top[qi])
             per_query.append(same)
             ok &= same
             print(f"q{qi}: {'BITWISE-IDENTICAL' if same else 'MISMATCH'}",
@@ -90,7 +95,8 @@ def main() -> None:
                 print("  batch :", batch_top[qi])
         print(json.dumps({
             "n_docs": n_docs,
-            "paths": ["exact", "pruned", "served", "served_batch"],
+            "paths": ["exact", "pruned", "served(block-skip)",
+                      "served(no-skip)", "served_batch"],
             "queries": len(GOLDEN_PHRASES),
             "bitwise_identical": sum(per_query),
             "bitwise_ok": ok,
