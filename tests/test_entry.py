@@ -92,3 +92,44 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["doc_id", "score"]
+
+
+def test_oracle_sql_degrades_without_corpus(tmp_path):
+    """A missing/unreadable corpus dir must cost ONLY the hybrid entry
+    (with a warning) — every string-built oracle still comes back, so a
+    broken env can't take down the whole correctness gate."""
+    import warnings
+
+    old = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = str(tmp_path / "nope")
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            oracles = entrymod.oracle_sql()
+        assert "hybrid_search_topk" not in oracles
+        assert "ft_bm25_topk" in oracles and "tpch_q1" in oracles
+        assert any("hybrid_search_topk oracle unavailable" in str(x.message)
+                   for x in w)
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_ORACLE_SF_DIR", None)
+        else:
+            os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = old
+
+
+def test_oracle_sql_memoizes_hybrid(monkeypatch):
+    """Repeated oracle_sql() calls must not re-run the numpy hybrid
+    oracle for an sf dir already computed (the memo also keeps the
+    relational-oracle-only callers cheap after the first call)."""
+    assert SF_DIR in entrymod._HYBRID_ORACLE_CACHE  # computed at import
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise AssertionError("hybrid oracle recomputed despite memo")
+
+    import pandas as pd
+    monkeypatch.setattr(pd, "read_parquet", boom)
+    oracles = entrymod.oracle_sql()
+    assert "hybrid_search_topk" in oracles
+    assert calls["n"] == 0
