@@ -7,6 +7,8 @@ Usage:
          [--rerank-k 50] [--gate-penalty 0.5] [--profile cli|app]
          [--w-dense .55 --w-bm25 .15 --w-rerank .15 --w-prior .10 --w-best .05]
   python -m review_recommender_spark.cli eval   --index <dir> --corpus synth:N
+  python -m review_recommender_spark.cli delta-merge --index <dir> \
+         --delta <parquet> --out <dir>   # fold new docs into an index
 """
 
 from __future__ import annotations
@@ -46,6 +48,16 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--corpus", required=True)
     e.add_argument("--cores", type=int, default=None)
 
+    d = sub.add_parser("delta-merge",
+                       help="merge an epoch of NEW docs into an existing "
+                            "index (incremental maintenance; byte-equal "
+                            "to a rebuild over corpus+delta)")
+    d.add_argument("--index", required=True, help="existing index root")
+    d.add_argument("--delta", required=True,
+                   help="parquet path (or synth:N) of NEW docs only")
+    d.add_argument("--out", required=True, help="merged index root")
+    d.add_argument("--cores", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     from .config import EngineConfig, app_profile, bm25_north, cli_profile
@@ -76,6 +88,15 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     idx = InvertedIndex.load(spark, TableIO(args.index), cfg)
+
+    if args.cmd == "delta-merge":
+        from .index.build import delta_merge_index
+        merged = delta_merge_index(spark, idx, load_corpus(args.delta),
+                                   TableIO(args.out))
+        print(json.dumps({"n_docs": merged.n_docs,
+                          "vocab": merged.vocab_size,
+                          "avgdl": merged.avgdl}))
+        return 0
 
     if args.cmd == "search":
         if args.bm25_only:

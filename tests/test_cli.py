@@ -1,0 +1,34 @@
+"""CLI smoke: build → delta-merge → bm25-only search through the same
+entry points a reference user would switch to (cli.py mirrors
+app/test.py:345-361)."""
+
+import json
+
+import numpy as np
+
+from review_recommender_spark.cli import main as cli_main
+from review_recommender_spark.corpus.pages import PAGES_SCHEMA, pages_pdf
+
+
+def test_cli_build_delta_merge_search(spark, tmp_path, capsys):
+    delta = str(tmp_path / "delta_pages")
+    (spark.createDataFrame(pages_pdf(np.arange(300, 400)),
+                           schema=PAGES_SCHEMA)
+     .coalesce(1).write.parquet(delta))
+
+    idx = str(tmp_path / "cli_idx")
+    assert cli_main(["build", "--corpus", "synth:300",
+                     "--index", idx]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["n_docs"] == 300
+
+    out = str(tmp_path / "cli_merged")
+    assert cli_main(["delta-merge", "--index", idx, "--delta", delta,
+                     "--out", out]) == 0
+    merged = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert merged["n_docs"] == 400
+
+    assert cli_main(["search", "--index", out, "--corpus", "synth:400",
+                     "-q", "wireless bluetooth headphones",
+                     "--bm25-only"]) == 0
+    assert "Top results:" in capsys.readouterr().out
