@@ -6,18 +6,24 @@ app/test.py:147-157) with a persisted, compressed, term-partitioned index
 built in ONE large shuffle:
 
   Stage A (map-only, chunked, resumable, pure JVM / whole-stage codegen):
-      pages → K1 tokenize → explode → ``local_tf`` table with one row per
-      token OCCURRENCE (doc_id, dl, term) plus one sentinel row (term=NULL)
-      per doc so zero-token docs still contribute to doc_stats/avgdl
-      (BM25Okapi counts them). No Python worker touches the scan stage;
-      tf materializes later as run-lengths inside the encode kernel. This
-      is the "per-partition inverted index" checkpoint: each chunk commits
-      a manifest and a re-run skips completed chunks.
+      pages → K1 tokenize → ``local_tf`` table with ONE ROW PER DOC
+      (doc_id, dl, toks array). Packing the token array instead of
+      exploding to occurrence rows (format v3) shrinks the checkpoint's
+      row count ~avgdl× — doc_id/dl are stored once per doc instead of
+      once per token — and lets Stage B read just the two scalar columns
+      under parquet column pruning (the toks column chunks are never
+      touched; plan-gated in tests/test_plans.py). Zero-token docs are a
+      row like any other, so they reach doc_stats/avgdl with no sentinel
+      machinery (BM25Okapi counts them). No Python worker touches the
+      scan stage; tf materializes later as run-lengths inside the encode
+      kernel. This is the "per-partition inverted index" checkpoint: each
+      chunk commits a manifest and a re-run skips completed chunks.
 
   Stage B (map-only): doc_stats (doc_id, doc_len) + corpus_stats
-      (n_docs, avgdl, total_tokens) from the sentinel rows.
+      (n_docs, avgdl, total_tokens) from the (doc_id, dl) columns only.
 
-  Stage C (THE shuffle): occurrence rows hash-partitioned by
+  Stage C (THE shuffle): checkpoint rows exploded JVM-side into
+      occurrence rows (doc_id, dl, term), hash-partitioned by
       (term, range_id) — range_id = doc_id >> range_shift. Hashing on the
       *pair* is the skew treatment the north rule calls "salting head
       terms": a head term's postings are split across reducers by
@@ -61,8 +67,9 @@ from .tableio import ChunkedWriter, TableIO, config_fingerprint
 LOCAL_TF = "local_tf"
 # bump when the local_tf checkpoint schema changes — stale checkpoints from
 # an older format must not be resumed (v2 = occurrence rows, no tf column;
-# v3 = partitioned by is_sentinel for directory-pruned stage B/C reads)
-LOCAL_TF_FORMAT_VERSION = 3
+# v3 = occurrence rows partitioned by is_sentinel; v4 = one PACKED row
+# per doc (doc_id, dl, toks) — Stage C explodes on read)
+LOCAL_TF_FORMAT_VERSION = 4
 DOC_STATS = "doc_stats"
 CORPUS_STATS = "corpus_stats"
 TERM_STATS = "term_stats"
@@ -81,29 +88,37 @@ def term_bucket_col(col, n_buckets: int):
     return F.crc32(col) % n_buckets
 
 
-def _tf_rows(tokens_df: DataFrame, cap: int) -> DataFrame:
-    """(doc_id, toks) → one row per token OCCURRENCE (doc_id, dl, term),
-    plus a per-doc sentinel row (term=NULL) carrying the doc length.
-    ``is_sentinel`` (0/1) is emitted as a separate int column because the
-    checkpoint table is PARTITIONED on it: Stage B's doc_stats read and
-    Stage C's occurrences read then prune at the DIRECTORY level instead
-    of scanning and filtering each other's rows (plan-gated in
-    tests/test_plans.py).
+def _doc_rows(tokens_df: DataFrame) -> DataFrame:
+    """(doc_id, toks) → ONE packed checkpoint row per doc
+    (doc_id, dl, toks). Format v4: the explode to occurrence rows
+    happens at Stage C read time (``_occurrence_rows``), not here, so
+    the checkpoint stores doc_id/dl once per doc instead of once per
+    token and Stage B's doc_stats read touches only the two scalar
+    columns under parquet column pruning. A zero-token doc is a normal
+    row with dl=0 and toks=[], so it reaches doc_stats/avgdl with no
+    sentinel rows (BM25Okapi counts such docs — reference fillna('') at
+    nlp/10_product_prep.py:37).
 
-    Pure JVM (whole-stage codegen, no Python worker): counting (doc, term)
-    pairs is deferred to the encode kernel, where consecutive equal doc_ids
-    inside a sorted (term, range) run collapse into tf by run-length — a
-    vectorized reduceat. Shuffling raw occurrences instead of (doc, term,
-    tf) rows costs only ~8% extra volume (most tf are 1) and removes the
-    JVM↔Python round-trip from the scan stage entirely.
+    Pure JVM (whole-stage codegen, no Python worker).
     """
     return tokens_df.select(
         "doc_id",
         F.size("toks").cast("int").alias("dl"),
-        F.explode(F.concat(F.array(F.lit(None).cast("string")),
-                           F.col("toks"))).alias("term"),
-    ).withColumn("is_sentinel",
-                 F.when(F.col("term").isNull(), 1).otherwise(0))
+        "toks",
+    )
+
+
+def _occurrence_rows(local_tf: DataFrame) -> DataFrame:
+    """Packed checkpoint rows → one row per token OCCURRENCE
+    (doc_id, dl, term), exploded JVM-side. Counting (doc, term) pairs is
+    deferred to the encode kernel, where consecutive equal doc_ids inside
+    a sorted (term, range) run collapse into tf by run-length — a
+    vectorized reduceat. Feeding raw occurrences instead of (doc, term,
+    tf) rows to the pack/encode kernels costs only ~8% extra volume (most
+    tf are 1) and keeps the whole read+explode inside codegen. Zero-token
+    docs explode to no rows — correct, they have no postings."""
+    return local_tf.select(
+        "doc_id", "dl", F.explode("toks").alias("term"))
 
 
 def _tokens_df(docs: DataFrame, cfg: EngineConfig, doc_id_col: str,
@@ -112,8 +127,8 @@ def _tokens_df(docs: DataFrame, cfg: EngineConfig, doc_id_col: str,
     # NULL text must tokenize to [] (a zero-token doc), not drop the doc:
     # BM25Okapi counts such docs in n_docs/avgdl (reference fillna('') at
     # nlp/10_product_prep.py:37). Without the coalesce, the JVM tokenizer
-    # yields a NULL array and the explode emits no sentinel row, silently
-    # excluding the doc and shifting every idf.
+    # yields a NULL toks array, corrupting the doc's checkpoint row
+    # (dl would be NULL/-1 instead of 0) and shifting every idf.
     base = docs.select(F.col(doc_id_col).alias("doc_id"),
                        F.coalesce(F.col(text_col), F.lit("")).alias("text"))
     if cfg.index.tokenizer_impl == "arrow":
@@ -572,20 +587,18 @@ def build_index(spark: SparkSession, docs: DataFrame | str, io: TableIO,
         else:
             chunk = docs.filter(
                 F.pmod(F.col(doc_id_col), F.lit(n_chunks)) == i)
-        tf_df = _tf_rows(_tokens_df(chunk, cfg, doc_id_col, text_col),
-                         cfg.index.token_cap)
-        writer.write_chunk(tf_df, i, partition_by=["is_sentinel"])
+        tf_df = _doc_rows(_tokens_df(chunk, cfg, doc_id_col, text_col))
+        writer.write_chunk(tf_df, i)
     writer.finalize(lineage={"stage": "A", "source": "docs"},
                     metrics={})
 
     local_tf = io.read(spark, LOCAL_TF)
 
     # ---- Stage B: doc_stats + corpus scalars (map-only + tiny agg) ----
-    # is_sentinel is the checkpoint's PARTITION column, so this read
-    # touches only the (tiny) sentinel directories — ~1/avgdl of the
-    # checkpoint's rows — instead of scanning and filtering everything
-    sentinels = local_tf.filter(F.col("is_sentinel") == 1)
-    doc_stats = sentinels.select("doc_id", F.col("dl").alias("doc_len"))
+    # the checkpoint is one packed row per doc, so this read touches only
+    # the doc_id/dl column chunks under parquet column pruning — the toks
+    # column (≈ all of the checkpoint's bytes) is never read (plan-gated)
+    doc_stats = local_tf.select("doc_id", F.col("dl").alias("doc_len"))
     io.write(doc_stats, DOC_STATS,
              lineage={"parent": io.current_snapshot(LOCAL_TF)["snapshot_id"]},
              metrics={})
@@ -594,10 +607,7 @@ def build_index(spark: SparkSession, docs: DataFrame | str, io: TableIO,
     # ---- Stage C: the (term, range) shuffle → encoded posting blocks ----
     if shuffle_partitions is None:
         shuffle_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # partition-pruned to the occurrence directories (sentinels skipped at
-    # the directory level, not row-filtered)
-    tfp = (local_tf.filter(F.col("is_sentinel") == 0)
-           .select("doc_id", "dl", "term")
+    tfp = (_occurrence_rows(local_tf)
            .withColumn("range_id",
                        F.shiftright(F.col("doc_id"), cfg.index.range_shift)))
     if cfg.index.stage_c_mode == "packed":
@@ -824,20 +834,19 @@ def delta_merge_index(spark: SparkSession, main: InvertedIndex,
     parent_posts = main.io.current_snapshot(POSTINGS) or {}
     parent_ds = main.io.current_snapshot(DOC_STATS) or {}
 
-    # ---- Stage A (delta only): occurrences + sentinels, staged ----
-    tf_df = _tf_rows(_tokens_df(delta_docs, cfg, doc_id_col, text_col),
-                     cfg.index.token_cap)
-    out_io.write(tf_df, DELTA_LOCAL_TF, partition_by=["is_sentinel"],
+    # ---- Stage A (delta only): packed per-doc rows, staged ----
+    tf_df = _doc_rows(_tokens_df(delta_docs, cfg, doc_id_col, text_col))
+    out_io.write(tf_df, DELTA_LOCAL_TF,
                  lineage={"stage": "A-delta",
                           "parent_postings": parent_posts.get("snapshot_id")},
                  metrics={})
     dtf = out_io.read(spark, DELTA_LOCAL_TF)
-    d_sent = dtf.filter(F.col("is_sentinel") == 1)
+    d_ds = dtf.select("doc_id", "dl")
 
     main_ds = main.doc_stats(spark)
     if assert_new_docs:
         overlap = (main_ds.join(
-            F.broadcast(d_sent.select("doc_id")), "doc_id", "left_semi")
+            F.broadcast(d_ds.select("doc_id")), "doc_id", "left_semi")
             .limit(1).count())
         if overlap:
             raise ValueError(
@@ -847,7 +856,7 @@ def delta_merge_index(spark: SparkSession, main: InvertedIndex,
 
     # ---- merged doc_stats (+ corpus scalars from its footers) ----
     merged_ds = main_ds.unionByName(
-        d_sent.select("doc_id", F.col("dl").alias("doc_len")))
+        d_ds.select("doc_id", F.col("dl").alias("doc_len")))
     out_io.write(merged_ds, DOC_STATS,
                  lineage={"parent": parent_ds.get("snapshot_id"),
                           "mode": "delta_merge"},
@@ -855,8 +864,7 @@ def delta_merge_index(spark: SparkSession, main: InvertedIndex,
     n_docs, total_tokens, avgdl = _doc_scalars(spark, out_io, cfg)
 
     # ---- Stage C (delta only): map-side packed partials, staged ----
-    tfp = (dtf.filter(F.col("is_sentinel") == 0)
-           .select("doc_id", "dl", "term")
+    tfp = (_occurrence_rows(dtf)
            .withColumn("range_id",
                        F.shiftright(F.col("doc_id"),
                                     cfg.index.range_shift)))

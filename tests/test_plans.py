@@ -91,7 +91,9 @@ def test_head_term_skew_bounded(spark):
     import numpy as np
     import pandas as pd
     from review_recommender_spark.config import EngineConfig
-    from review_recommender_spark.index.build import _tf_rows, _tokens_df
+    from review_recommender_spark.index.build import (_doc_rows,
+                                                      _occurrence_rows,
+                                                      _tokens_df)
 
     n = 4096
     texts = ["hot" if i % 2 == 0 else f"cold{i} filler{i}"
@@ -102,11 +104,9 @@ def test_head_term_skew_bounded(spark):
     cfg = EngineConfig()
     cfg = dataclasses.replace(
         cfg, index=dataclasses.replace(cfg.index, range_shift=6))
-    tf = _tf_rows(_tokens_df(docs, cfg, "doc_id", "text"),
-                  cfg.index.token_cap)
-    tfp = (tf.filter(F.col("term").isNotNull())
-           .withColumn("range_id", F.shiftright(F.col("doc_id"),
-                                                cfg.index.range_shift)))
+    tf = _occurrence_rows(_doc_rows(_tokens_df(docs, cfg, "doc_id", "text")))
+    tfp = tf.withColumn("range_id", F.shiftright(F.col("doc_id"),
+                                                 cfg.index.range_shift))
 
     def partition_counts(df):
         pdf = (df.select(F.spark_partition_id().alias("p"))
@@ -148,12 +148,12 @@ def test_served_bm25_stage_is_shuffle_free(spark, small_index):
         spark.catalog.clearCache()
 
 
-def test_local_tf_sentinel_reads_are_partition_pruned(spark, small_pages,
-                                                      tmp_path):
-    """The Stage A checkpoint is partitioned by is_sentinel, so the
-    doc_stats read (sentinels only) and the Stage C occurrences read
-    (sentinels excluded) must both prune at the directory level rather
-    than row-filter each other's data."""
+def test_local_tf_doc_stats_read_is_column_pruned(spark, small_pages,
+                                                  tmp_path):
+    """The Stage A checkpoint (format v4) is one packed row per doc
+    (doc_id, dl, toks), so Stage B's doc_stats read must reach the
+    parquet scan with a ReadSchema of ONLY the two scalar columns — the
+    toks column (≈ all of the checkpoint's bytes) never read."""
     import dataclasses
 
     from review_recommender_spark.config import EngineConfig, bm25_north
@@ -167,8 +167,9 @@ def test_local_tf_sentinel_reads_are_partition_pruned(spark, small_pages,
     io = TableIO(str(tmp_path / "idx"))
     build_index(spark, small_pages.limit(200), io, cfg)
     local_tf = io.read(spark, "local_tf")
-    for val in (0, 1):
-        df = local_tf.filter(F.col("is_sentinel") == val)
-        plan = _plan(df)
-        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-        assert m and "is_sentinel" in m.group(1), plan
+    df = local_tf.select("doc_id", F.col("dl").alias("doc_len"))
+    plan = _plan(df)
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m, plan
+    assert "doc_id" in m.group(1) and "dl" in m.group(1), plan
+    assert "toks" not in m.group(1), plan

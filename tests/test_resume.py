@@ -46,15 +46,13 @@ def test_resume_skips_completed_chunks_and_matches(spark, small_pages,
                             tokenizer="simple_en_v1", cap=cfg.index.token_cap,
                             block=cfg.index.block_size,
                             shift=cfg.index.range_shift, n_chunks=4)
-    from review_recommender_spark.index.build import _tf_rows, _tokens_df
+    from review_recommender_spark.index.build import _doc_rows, _tokens_df
     writer = ChunkedWriter(io=io_part, name=LOCAL_TF, n_chunks=4,
                            input_fingerprint=fp)
     for i in (0, 2):
         chunk = small_pages.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i)
         writer.write_chunk(
-            _tf_rows(_tokens_df(chunk, cfg, "doc_id", "text"),
-                     cfg.index.token_cap), i,
-            partition_by=["is_sentinel"])
+            _doc_rows(_tokens_df(chunk, cfg, "doc_id", "text")), i)
     assert writer.pending_chunks() == [1, 3]
 
     # resume: build_index must only run the missing chunks, then finish

@@ -83,7 +83,7 @@ def test_stream_to_index_roundtrip_with_kills(spark, tmp_path):
 
     from review_recommender_spark.config import EngineConfig, bm25_north
     from review_recommender_spark.index.build import (
-        LOCAL_TF, LOCAL_TF_FORMAT_VERSION, _file_chunk_groups, _tf_rows,
+        LOCAL_TF, LOCAL_TF_FORMAT_VERSION, _doc_rows, _file_chunk_groups,
         _tokens_df, build_index)
     from review_recommender_spark.index.tableio import (ChunkedWriter,
                                                         TableIO,
@@ -134,9 +134,7 @@ def test_stream_to_index_roundtrip_with_kills(spark, tmp_path):
                            input_fingerprint=fp)
     chunk0 = spark.read.schema(staged.schema).parquet(*groups[0])
     writer.write_chunk(
-        _tf_rows(_tokens_df(chunk0, cfg, "doc_id", "text"),
-                 cfg.index.token_cap), 0,
-        partition_by=["is_sentinel"])
+        _doc_rows(_tokens_df(chunk0, cfg, "doc_id", "text")), 0)
     assert writer.pending_chunks() == [1, 2]
     idx_stream = build_index(spark, staging, io_s, cfg, n_chunks=3,
                              resume=True)

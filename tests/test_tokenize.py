@@ -70,11 +70,12 @@ def test_k1_jvm_vs_python_on_cases(spark):
 def test_k1_null_text_counts_as_zero_token_doc(spark):
     """NULL text must yield a zero-token doc, not drop the doc: BM25Okapi
     counts it in n_docs/avgdl (reference fillna('') nlp/10:37). Regression
-    for the r01 divergence where the JVM path emitted no sentinel row."""
+    for the r01 divergence where the JVM path dropped NULL-text docs; in
+    checkpoint format v4 the doc must surface as a (dl=0, toks=[]) row."""
     import dataclasses
 
     from review_recommender_spark.config import EngineConfig
-    from review_recommender_spark.index.build import _tf_rows, _tokens_df
+    from review_recommender_spark.index.build import _doc_rows, _tokens_df
 
     df = spark.createDataFrame([(0, None), (1, "real text here")],
                                "doc_id long, text string")
@@ -82,12 +83,11 @@ def test_k1_null_text_counts_as_zero_token_doc(spark):
         cfg = EngineConfig()
         cfg = dataclasses.replace(
             cfg, index=dataclasses.replace(cfg.index, tokenizer_impl=impl))
-        rows = _tf_rows(_tokens_df(df, cfg, "doc_id", "text"),
-                        cfg.index.token_cap)
-        sent = (rows.filter(F.col("term").isNull()).toPandas()
-                .sort_values("doc_id"))
-        assert sent["doc_id"].tolist() == [0, 1], impl
-        assert sent["dl"].tolist()[0] == 0, impl
+        rows = (_doc_rows(_tokens_df(df, cfg, "doc_id", "text"))
+                .toPandas().sort_values("doc_id"))
+        assert rows["doc_id"].tolist() == [0, 1], impl
+        assert rows["dl"].tolist()[0] == 0, impl
+        assert list(rows["toks"].iloc[0]) == [], impl
 
 
 def test_null_text_doc_in_built_index(spark, tmp_path):
