@@ -49,6 +49,40 @@ def hardware_throughput(workers: int, n: int = 3_000_000,
         os.sched_setaffinity(0, old)
 
 
+def _bw_task(n_elems: int) -> float:
+    import numpy as np
+    a = np.empty(n_elems)
+    b = np.ones(n_elems)
+    for _ in range(8):
+        np.copyto(a, b)
+    return float(a[0])
+
+
+def bandwidth_throughput(workers: int, n_elems: int = 4_194_304,
+                         total_tasks: int = 16) -> float:
+    """Aggregate DRAM-copy bandwidth (GB/s) under the SAME cpu affinity
+    the bench gets. The ALU busy-loop probe cannot see memory-bandwidth
+    contention — the resource a data engine actually saturates when
+    widths share one socket — so this probe times streaming copies of
+    32 MB float64 arrays (far beyond per-core cache) over a FIXED total
+    workload, mirroring the busy-loop's fixed-work design. Reported as
+    diagnostic evidence next to the ALU ceiling; the decision rule's
+    normalization stays on the ALU probe it was frozen with."""
+    old = os.sched_getaffinity(0)
+    try:
+        os.sched_setaffinity(0, set(range(workers)))
+        tasks = [n_elems] * total_tasks
+        t0 = time.perf_counter()
+        with mp.Pool(workers) as p:
+            p.map(_bw_task, tasks)
+        wall = time.perf_counter() - t0
+        # each task copies 8 passes × (read + write) × n_elems × 8 bytes
+        total_bytes = total_tasks * 8 * 2 * n_elems * 8
+        return total_bytes / wall / 1e9
+    finally:
+        os.sched_setaffinity(0, old)
+
+
 def run_bench(cores: int, n_docs: int, phases: str) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cores),
@@ -67,14 +101,21 @@ def main() -> None:
     n_docs_wide = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS_WIDE",
                                      "400000"))
     pairs = [(1, 4, n_docs), (2, 8, n_docs_wide), (8, 32, n_docs_wide)]
-    # SPARK_GRAFT_SCALING_PAIRS=primary reruns only the gate pair (1→4),
-    # REUSING the last run's wide-pair results from BENCH/BASELINE.md's
-    # raw JSON — for iterating on the volatile primary measurement
-    # without paying ~8 min of silicon-capped secondary evidence.
-    primary_only = (os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "all")
-                    == "primary")
+    # SPARK_GRAFT_SCALING_PAIRS selects which pair gets the interleaved
+    # best-of-N treatment, REUSING the other widths' last results from
+    # BENCH/BASELINE.md's raw JSON — for iterating on one volatile
+    # measurement without paying ~8 min of the others:
+    #   primary   → 1→4 gate pair (the BASELINE.md §3 primary)
+    #   secondary → 2→8 pair (same N→4N criterion; smaller lone-vCPU
+    #               turbo confound because both widths are multi-core)
+    #   all       → everything fresh, 1→4 interleaved
+    mode = os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "all")
+    primary_only = mode == "primary"
+    secondary_only = mode == "secondary"
+    gate_pair = (2, 8) if secondary_only else (1, 4)
+    gate_docs = n_docs_wide if secondary_only else n_docs
     reuse: dict[int, dict] = {}
-    if primary_only:
+    if primary_only or secondary_only:
         out_path0 = os.path.join(REPO, "BENCH", "BASELINE.md")
         if os.path.exists(out_path0):
             for line in open(out_path0):
@@ -82,15 +123,19 @@ def main() -> None:
                 if line.startswith('{"metric"'):
                     d = json.loads(line)
                     # only reuse rows measured at the SAME corpus size —
-                    # a changed SPARK_GRAFT_BENCH_DOCS_WIDE must fall
-                    # back to re-running, not silently mix scales
-                    if (d["cpus"] in (2, 8, 32)
-                            and d.get("index_n_docs") == n_docs_wide):
+                    # a changed corpus knob must fall back to re-running,
+                    # not silently mix scales
+                    expect = {1: n_docs, 2: n_docs_wide, 4: n_docs,
+                              8: n_docs_wide, 32: n_docs_wide}
+                    if (d["cpus"] not in gate_pair
+                            and d.get("index_n_docs") == expect[d["cpus"]]):
                         reuse[d["cpus"]] = d
 
-    print("calibrating hardware (pinned busy loops)...", flush=True)
+    print("calibrating hardware (pinned busy loops + mem-copy)...",
+          flush=True)
     widths = sorted({c for lo, hi, _ in pairs for c in (lo, hi)})
     hw = {w: hardware_throughput(w) for w in widths}
+    bw = {w: bandwidth_throughput(w) for w in widths}
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     results: dict[int, dict] = {}
@@ -100,12 +145,12 @@ def main() -> None:
         prev = results.get(cores)
         if prev is None or (res["index_docs_per_sec"]
                             > prev["index_docs_per_sec"]):
-            res["reps"] = reps if cores in (1, 4) else 1
+            res["reps"] = reps if cores in gate_pair else 1
             results[cores] = res
         else:
-            prev["reps"] = reps if cores in (1, 4) else 1
+            prev["reps"] = reps if cores in gate_pair else 1
 
-    # Primary-pair reps are INTERLEAVED (1,4,1,4,...), best-of-N each:
+    # Gate-pair reps are INTERLEAVED (lo,hi,lo,hi,...), best-of-N each:
     # the host's throughput drifts ±20-30% on ~10-minute timescales, and
     # running all reps of one width back-to-back lets a slow phase land
     # entirely on one side of the ratio (run 9 measured a 15% uniformly
@@ -114,18 +159,17 @@ def main() -> None:
     # the same exposure to drift; best-of-N then picks each side's
     # least-contaminated rep. Noise only ever slows a run down.
     for r in range(reps):
-        for cores in (1, 4):
-            print(f"bench taskset {cores} cores @ {n_docs} docs "
+        for cores in gate_pair:
+            print(f"bench taskset {cores} cores @ {gate_docs} docs "
                   f"(rep {r + 1}/{reps}, interleaved)...", flush=True)
-            take(cores, n_docs)
+            take(cores, gate_docs)
     for lo, hi, nd in pairs:
         for cores in (lo, hi):
             if cores in results:
                 continue
-            if primary_only and cores in reuse:
+            if cores in reuse:
                 results[cores] = reuse[cores]
-                print(f"reusing prior {cores}-core wide-pair result",
-                      flush=True)
+                print(f"reusing prior {cores}-core result", flush=True)
                 continue
             print(f"bench taskset {cores} cores @ {nd} docs (rep 1/1)...",
                   flush=True)
@@ -157,9 +201,11 @@ def main() -> None:
         f"{results[c].get('bm25_p50_sec', '—')} | "
         f"{results[c].get('bm25_p95_sec', '—')} |"
         for c in sorted(results))
-    hw_rows = "\n".join(f"| {w} | {t:.1f} | "
-                        f"{t / hw[widths[0]] / (w / widths[0]):.2f} |"
-                        for w, t in sorted(hw.items()))
+    hw_rows = "\n".join(
+        f"| {w} | {t:.1f} | "
+        f"{t / hw[widths[0]] / (w / widths[0]):.2f} | "
+        f"{bw[w]:.1f} | {bw[w] / bw[widths[0]] / (w / widths[0]):.2f} |"
+        for w, t in sorted(hw.items()))
 
     md = f"""# BENCH/BASELINE — measured engine numbers
 
@@ -171,17 +217,21 @@ threads and Python workers spill onto idle cores, inflating the small-N
 baseline). Shuffle + table IO on tmpfs: on a real cluster 4N executors
 bring 4N disks, so a single shared spindle would understate scaling.
 Timing excludes corpus synthesis (the build reads a materialized table).
-Primary-pair widths use best-of-{reps} repetitions: on a shared
-virtualized host, noise only ever slows a run down.
+This run's interleaved best-of-{reps} gate pair:
+**{gate_pair[0]}→{gate_pair[1]}** (other widths single-rep or reused
+from the prior run at the same corpus size).
 
-## Hardware calibration (pinned busy loops, no Spark)
+## Hardware calibration (pinned busy loops + mem-copy, no Spark)
 
-| cores | busy tasks/s | scaling eff vs {widths[0]} core |
-|---|---|---|
+| cores | busy tasks/s | ALU eff vs {widths[0]} core | mem-copy GB/s | BW eff vs {widths[0]} core |
+|---|---|---|---|---|
 {hw_rows}
 
 The box advertises 32 CPUs but saturates near ~14 effective cores
-(virtualized host); pairs wider than ~8 are silicon-capped.
+(virtualized host); pairs wider than ~8 are silicon-capped. The
+mem-copy column is the aggregate DRAM streaming-copy bandwidth under
+the same pinning — the resource a data engine actually contends for
+when widths share one socket, which the pure-ALU busy loop cannot see.
 
 ## Index-build throughput (pinned)
 
@@ -208,11 +258,17 @@ cluster — the regime the rule describes — each executor adds its own
 memory bandwidth and disks, which is exactly the resource this
 single-box ratio cannot model.
 
-| pair | engine speedup | absolute eff | same-run hw ceiling | normalized eff | verdict |
-|---|---|---|---|---|---|
-| 1 → 4 | {sp14:.2f}× | **{eff14:.3f}** | {hw[4] / hw[1]:.2f}× | **{norm14:.3f}** | {gate(eff14, norm14)} |
-| 2 → 8 | {sp28:.2f}× | {eff28:.3f} | {hw[8] / hw[2]:.2f}× | {norm28:.3f} | {gate(eff28, norm28)} |
-| 8 → 32 | {sp832:.2f}× | {eff832:.3f} | {hw[32] / hw[8]:.2f}× | {norm832:.3f} | silicon-capped |
+| pair | engine speedup | absolute eff | same-run hw ceiling | normalized eff | same-run BW ceiling | verdict |
+|---|---|---|---|---|---|---|
+| 1 → 4 | {sp14:.2f}× | **{eff14:.3f}** | {hw[4] / hw[1]:.2f}× | **{norm14:.3f}** | {bw[4] / bw[1]:.2f}× | {gate(eff14, norm14)} |
+| 2 → 8 | {sp28:.2f}× | {eff28:.3f} | {hw[8] / hw[2]:.2f}× | {norm28:.3f} | {bw[8] / bw[2]:.2f}× | {gate(eff28, norm28)} |
+| 8 → 32 | {sp832:.2f}× | {eff832:.3f} | {hw[32] / hw[8]:.2f}× | {norm832:.3f} | {bw[32] / bw[8]:.2f}× | silicon-capped |
+
+The BW-ceiling column is diagnostic only — the frozen decision rule
+normalizes by the ALU busy-loop ceiling it was specified with. When the
+engine's speedup sits between the BW ceiling and the ALU ceiling, the
+shortfall is memory-bandwidth contention (widths share one socket's
+DRAM channels; cluster executors would not).
 
 The primary gate is the 1→4 pair, where the hardware itself still scales
 ≈{hw[4] / hw[1]:.1f}×. This table is ONE run of a noisy measurement —
