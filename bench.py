@@ -80,11 +80,26 @@ def main() -> None:
         docs = None
         if "build" in phases:
             # materialize the synthetic corpus first (untimed — corpus
-            # synthesis is not index work; the real pipeline reads a table)
-            corpus_path = os.path.join(tmp, "corpus")
+            # synthesis is not index work; the real pipeline reads a table).
+            # SPARK_GRAFT_CORPUS_CACHE=<dir>: reuse one materialized copy
+            # across bench processes. The corpus is deterministic (seed=42)
+            # and its file layout is fixed by the partitions knob, so every
+            # width reads byte-identical input files — scaling reps then
+            # compare the SAME physical input while skipping ~30-80s of
+            # untimed synthesis wall-clock per rep. Keyed by (n_docs,
+            # partitions); unset (the default, and the driver's mode)
+            # regenerates per process exactly as before.
+            parts = max(32, cpus * 2)
+            cache_root = os.environ.get("SPARK_GRAFT_CORPUS_CACHE")
+            if cache_root:
+                corpus_path = os.path.join(
+                    cache_root, f"corpus_{n_docs}_{parts}")
+            else:
+                corpus_path = os.path.join(tmp, "corpus")
             t0 = time.perf_counter()
-            pages_df(spark, n_docs, partitions=max(32, cpus * 2)) \
-                .write.mode("overwrite").parquet(corpus_path)
+            if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+                pages_df(spark, n_docs, partitions=parts) \
+                    .write.mode("overwrite").parquet(corpus_path)
             timings["corpus_gen"] = round(time.perf_counter() - t0, 3)
             docs = spark.read.parquet(corpus_path)
             # untimed warmup build (5k docs): the first build in a fresh

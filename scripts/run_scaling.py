@@ -97,6 +97,13 @@ def run_bench(cores: int, n_docs: int, phases: str) -> dict:
 
 
 def main() -> None:
+    # share one deterministic materialized corpus across all bench
+    # subprocesses (seed-fixed content, width-independent file layout —
+    # see bench.py): every width reads the SAME physical input files and
+    # reps skip the untimed synthesis wall-clock
+    if os.path.isdir("/dev/shm"):
+        os.environ.setdefault("SPARK_GRAFT_CORPUS_CACHE",
+                              "/dev/shm/rrs_corpus_cache")
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "800000"))
     n_docs_wide = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS_WIDE",
                                      "400000"))
