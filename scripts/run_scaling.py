@@ -282,7 +282,8 @@ The primary gate is the 1→4 pair, where the hardware itself still scales
 read it together with the full run history in "Measurement variance"
 below (every suite run ever recorded, in order, PASSes and FAILs alike):
 single runs on this shared host have ranged 0.69-0.88 around the same
-build plan, the absolute gate passed in runs 5, 7, 8, 12 and 14, and
+build plan, the absolute gate passed in runs 5, 7, 8, 12, 14 and — on the final
+round-5 engine — run 39 (0.831), and
 the busy-loop "hardware ceiling" itself swings 3.4-4.2×. For wider
 pairs the engine tracks the measured
 hardware ceiling (normalized efficiency 2→8:
