@@ -298,12 +298,21 @@ def _served_local_topk(token_seqs: list[list[str]], idf_map: dict,
                 if t in idf_map:
                     qtf[t] = qtf.get(t, 0) + 1
             # per-range summed bound for THIS query (weight = idf·qtf:
-            # a term's max total contribution incl. query multiplicity)
+            # a term's max total contribution incl. query multiplicity).
+            # NEGATIVE idf (the ε-fixup ε·avg_idf is negative when the
+            # vocabulary-mean raw idf is — degenerate/templated corpora)
+            # is clamped to 0 in the BOUND only: the unit bound assumes
+            # weight ≥ 0 (it maximizes tf/minimizes dl, which for a
+            # negative weight is the MINIMUM), so idf·unit would be a
+            # lower bound and skipping could drop true top-k docs. A
+            # negative-idf term's true contribution is always < 0, so 0
+            # is a valid (if loose) upper bound; scoring is unchanged.
             rb: dict[int, float] = {}
             for (rid, term), mu in max_unit.items():
                 c = qtf.get(term)
                 if c:
-                    rb[rid] = rb.get(rid, 0.0) + idf_map[term] * c * mu
+                    rb[rid] = rb.get(rid, 0.0) + max(idf_map[term], 0.0) \
+                        * c * mu
             if not rb:
                 continue
             order = sorted(rb.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -438,12 +447,21 @@ def bm25_topk_served_batch(spark: SparkSession, index: InvertedIndex,
 
 def _block_upper_bound_col(weights: dict[str, float], index: InvertedIndex):
     """Per-block score upper bound as a JVM column expression:
-    w_t · (k1+1)·max_tf / (max_tf + k1·(1 − b + b·min_dl/avgdl))."""
+    w_t · (k1+1)·max_tf / (max_tf + k1·(1 − b + b·min_dl/avgdl)).
+
+    Negative weights (ε-fixup idf can be negative when the vocabulary-mean
+    raw idf is) are clamped to 0: the (max_tf, min_dl) unit maximizes the
+    tf-side, which for a negative weight yields a LOWER bound — pruning on
+    it could drop true top-k docs. 0 dominates any negative contribution,
+    so the clamped expression stays a valid upper bound (pruning just gets
+    looser for such terms); scoring itself never clamps."""
     k1, b = index.cfg.bm25.k1, index.cfg.bm25.b
     avgdl = index.avgdl
-    wcol = F.element_at(
-        F.create_map(*[F.lit(x) for kv in weights.items() for x in kv]),
-        F.col("term"))
+    wcol = F.greatest(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in weights.items() for x in kv]),
+            F.col("term")),
+        F.lit(0.0))
     mt = F.col("max_tf").cast("double")
     denom = mt + k1 * (1 - b + b * F.col("min_dl").cast("double") / avgdl)
     return wcol * (k1 + 1) * mt / denom

@@ -176,6 +176,64 @@ def test_served_block_skip_ties_at_theta(spark, tmp_path):
     assert [r["score"] for r in skipped] == [r["score"] for r in plain]
 
 
+def test_negative_idf_pruning_rank_safe(spark, tmp_path):
+    """Degenerate/templated corpus where EVERY term's fixed-up idf is
+    negative (df > n/2 for the whole vocabulary → vocabulary-mean raw idf
+    < 0 → the BM25Okapi ε-fixup ε·avg_idf is itself negative). With
+    negative weights, high-tf docs score LOWER, so the (max_tf, min_dl)
+    "upper" bound is actually a lower bound — an unclamped pruner would
+    skip the ranges holding the true (least-negative) top-k. The bound
+    clamp (negative-idf terms contribute 0 to bounds, never to scores)
+    must keep both the pruned and the served block-skip paths
+    rank-identical to exact."""
+    import dataclasses
+
+    from review_recommender_spark.config import EngineConfig, bm25_north
+    from review_recommender_spark.index.build import build_index
+    from review_recommender_spark.index.tableio import TableIO
+    from review_recommender_spark.query.bm25 import bm25_topk_served
+
+    # 4-term vocabulary, each term in 3/4 of the docs, tf varying 1..3 by
+    # doc — no unique terms, so the vocabulary-mean raw idf stays negative
+    rows = []
+    for i in range(960):
+        words = []
+        for j, t in enumerate(["alpha", "beta", "gamma", "delta"]):
+            if (i + j) % 4 != 0:
+                words.extend([t] * (1 + (i * 7 + j) % 3))
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = EngineConfig(bm25=bm25_north())
+    cfg = dataclasses.replace(
+        cfg, index=dataclasses.replace(cfg.index, range_shift=6,
+                                       term_buckets=8))
+    idx = build_index(spark, docs, TableIO(str(tmp_path / "negidf")), cfg)
+    # precondition: the fixup produced negative idf for the query terms
+    ts = {r["term"]: r["idf"]
+          for r in idx.term_stats(spark).collect()}
+    assert ts["alpha"] < 0 and ts["beta"] < 0, ts
+
+    query = "alpha beta"
+    exact = bm25_topk_exact(spark, idx, query, k=10).collect()
+    pruned = bm25_topk_pruned(spark, idx, query, k=10, seed_ranges=2,
+                              min_ranges_to_prune=1).collect()
+    assert [r["doc_id"] for r in pruned] == [r["doc_id"] for r in exact]
+    np.testing.assert_allclose([r["score"] for r in pruned],
+                               [r["score"] for r in exact], rtol=1e-12)
+
+    idx.warm(spark, serving_shards=4)
+    try:
+        plain = bm25_topk_served(spark, idx, query, k=10,
+                                 block_skip=False).collect()
+        skipped = bm25_topk_served(spark, idx, query, k=10,
+                                   block_skip=True).collect()
+    finally:
+        idx.unwarm()
+    assert [r["doc_id"] for r in skipped] == [r["doc_id"] for r in plain]
+    assert [r["score"] for r in skipped] == [r["score"] for r in plain]
+    assert [r["doc_id"] for r in plain] == [r["doc_id"] for r in exact]
+
+
 def test_pruned_small_seed_still_safe(spark, small_index):
     """Even a 1-range seed must stay rank-identical (θ only prunes ranges
     whose upper bound cannot reach it)."""
