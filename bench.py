@@ -42,10 +42,12 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
     phases = os.environ.get("SPARK_GRAFT_BENCH_PHASES",
-                            "build,bm25,hybrid,sf").split(",")
+                            "build,bm25,hybrid,sf,bursty").split(",")
 
     from review_recommender_spark.config import EngineConfig, bm25_north
-    from review_recommender_spark.corpus.pages import (GOLDEN_PHRASES,
+    from review_recommender_spark.corpus.pages import (CORPUS_FORMAT_VERSION,
+                                                       GOLDEN_PHRASES,
+                                                       bursty_queries,
                                                        page_meta_cols,
                                                        pages_df)
     from review_recommender_spark.index.build import build_index
@@ -92,8 +94,12 @@ def main() -> None:
             parts = max(32, cpus * 2)
             cache_root = os.environ.get("SPARK_GRAFT_CORPUS_CACHE")
             if cache_root:
+                # the generator format version in the key invalidates a
+                # persistent cache (run_scaling.py keeps one in /dev/shm)
+                # whenever corpus/pages.py changes what it generates
                 corpus_path = os.path.join(
-                    cache_root, f"corpus_{n_docs}_{parts}")
+                    cache_root,
+                    f"corpus_{n_docs}_{parts}_v{CORPUS_FORMAT_VERSION}")
             else:
                 corpus_path = os.path.join(tmp, "corpus")
             t0 = time.perf_counter()
@@ -214,6 +220,120 @@ def main() -> None:
             n = res.count()
             timings["hybrid_batch10"] = round(time.perf_counter() - t0, 3)
             extra["hybrid_rows"] = n
+
+        if "bursty" in phases:
+            # Bursty/topical corpus: web-realistic per-term df (~0.2% for
+            # topical query terms, 10-20% for head words) + heavy-tailed
+            # tf — the regime where block-max skipping actually skips
+            # (the default corpus has near-uniform tf and plants near-θ
+            # docs into every range, so its skip_ratio is honestly 0).
+            # The index uses range_shift=10 (≈117 ranges at 120k docs):
+            # the many-ranges regime a 10^12-doc index lives in. Queries
+            # mix each golden phrase with one K2-surviving head word —
+            # the rare+common mix WAND literature benchmarks.
+            import dataclasses
+
+            from review_recommender_spark.query.bm25 import (
+                bm25_topk_served, bm25_topk_served_batch)
+            if idx is not None:
+                idx.unwarm()
+            spark.catalog.clearCache()
+            bcfg = EngineConfig(bm25=bm25_north())
+            # shift 9 → ~234 ranges at 120k docs: keeps the (term-df /
+            # range-count) sparsity ratio ≈ the web-scale regime (most
+            # ranges hold NO postings for a rare query term), which with
+            # k1=1.2's tf saturation is what makes bounds differentiate
+            bshift = 9
+            btopics = max(512, n_docs // 60)  # rare-term df ≈ 60 docs
+            bcfg = dataclasses.replace(
+                bcfg, index=dataclasses.replace(bcfg.index,
+                                                range_shift=bshift))
+            parts = max(32, cpus * 2)
+            cache_root = os.environ.get("SPARK_GRAFT_CORPUS_CACHE")
+            if cache_root:
+                bpath = os.path.join(
+                    cache_root,
+                    f"corpus_bursty_{n_docs}_{parts}_t{btopics}"
+                    f"_v{CORPUS_FORMAT_VERSION}")
+            else:
+                bpath = os.path.join(tmp, "bcorpus")
+            t0 = time.perf_counter()
+            if not os.path.exists(os.path.join(bpath, "_SUCCESS")):
+                pages_df(spark, n_docs, partitions=parts, bursty=True,
+                         plant=False, topics=btopics) \
+                    .write.mode("overwrite").parquet(bpath)
+            timings["bursty_corpus_gen"] = round(time.perf_counter() - t0, 3)
+            bdocs = spark.read.parquet(bpath)
+            t0 = time.perf_counter()
+            bidx = build_index(spark, bdocs,
+                               TableIO(os.path.join(tmp, "bidx")), bcfg,
+                               n_chunks=1,
+                               shuffle_partitions=max(32, cpus * 2))
+            dt = time.perf_counter() - t0
+            timings["bursty_index_build"] = round(dt, 3)
+            extra["bursty_index_docs_per_sec"] = round(n_docs / dt, 1)
+            bq = bursty_queries()
+            # 4 serving shards so per-shard full-coverage candidates
+            # exceed k=10 (a real fleet's shard count scales with df; at
+            # rare-term df ≈ 60 that means few shards here)
+            bidx.warm(spark, serving_shards=4)
+            # JIT warmup for BOTH plan shapes (single + batch window)
+            bm25_topk_served(spark, bidx, bq[0], k=10).collect()
+            bm25_topk_served_batch(spark, bidx, bq[:1], k=10).collect()
+            # batched served: skip ON vs OFF (identical results, gated in
+            # tests/test_wand.py; here we time both and read the counters)
+            skip_stats: dict = {}
+            t0 = time.perf_counter()
+            bm25_topk_served_batch(spark, bidx, bq, k=10,
+                                   stats=skip_stats).collect()
+            timings["bursty_served_batch10"] = round(
+                time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            bm25_topk_served_batch(spark, bidx, bq, k=10,
+                                   block_skip=False).collect()
+            timings["bursty_served_batch10_noskip"] = round(
+                time.perf_counter() - t0, 3)
+            dec = skip_stats["decoded_blocks"].value
+            tot = skip_stats["total_blocks"].value
+            extra["bursty_served_blocks_decoded"] = dec
+            extra["bursty_served_blocks_total"] = tot
+            extra["bursty_served_block_skip_ratio"] = round(
+                1.0 - dec / max(tot, 1), 4)
+            lat = []
+            for qi, q in enumerate(bq[:5]):
+                t0 = time.perf_counter()
+                bm25_topk_served(spark, bidx, q, k=10).collect()
+                lat.append(time.perf_counter() - t0)
+            extra["bursty_served_p50_sec"] = round(
+                float(np.percentile(lat, 50)), 3)
+            # on-disk pruned vs exact: blocks decoded + wall, with the
+            # rank-identity asserted in-bench (cheap guard on the claim)
+            e_blocks = p_blocks = 0
+            e_lat, p_lat = [], []
+            for q in bq[:3]:
+                st_e: dict = {}
+                t0 = time.perf_counter()
+                e_rows = bm25_topk_exact(spark, bidx, q, k=10,
+                                         stats=st_e).collect()
+                e_lat.append(time.perf_counter() - t0)
+                st_p: dict = {}
+                t0 = time.perf_counter()
+                p_rows = bm25_topk_pruned(spark, bidx, q, k=10,
+                                          min_ranges_to_prune=64,
+                                          stats=st_p).collect()
+                p_lat.append(time.perf_counter() - t0)
+                assert [r["doc_id"] for r in e_rows] \
+                    == [r["doc_id"] for r in p_rows], q
+                e_blocks += st_e["decoded_blocks"].value
+                p_blocks += st_p["decoded_blocks"].value
+            extra["bursty_exact_blocks"] = e_blocks
+            extra["bursty_pruned_blocks"] = p_blocks
+            extra["bursty_exact_p50_sec"] = round(
+                float(np.percentile(e_lat, 50)), 3)
+            extra["bursty_pruned_p50_sec"] = round(
+                float(np.percentile(p_lat, 50)), 3)
+            bidx.unwarm()
+            spark.catalog.clearCache()
 
         if "sf" in phases and os.path.isdir(sf_dir):
             # phase isolation: drop the 120k warm serving state + any

@@ -28,6 +28,12 @@ from pyspark.sql import DataFrame, SparkSession
 SEED = 42
 ZIPF_S = 1.2
 
+# Bump whenever generated corpus BYTES can change (vocab, hashing, planting,
+# burst model). bench.py folds this into its materialized-corpus cache key so
+# a persistent cache dir (scripts/run_scaling.py keeps one in /dev/shm) can
+# never silently serve a stale corpus across generator revisions.
+CORPUS_FORMAT_VERSION = 1
+
 # Core vocabulary: real words (stopword-heavy head so K1's stoplist matters)
 # + product/review domain words + golden-query phrases + filler.
 _HEAD_WORDS = [
@@ -103,6 +109,47 @@ _SYN_SUB = {
     "cat": "kitten", "yellow": "golden", "green": "emerald",
 }
 
+# ---- bursty/topical mode constants (pages_pdf(bursty=True) only) ----
+# A golden query term at web scale has df/N ~ 1e-4..1e-6 and lives in
+# topical pages that mention it repeatedly; with k1=1.2 the tf side of
+# BM25 saturates fast, so what differentiates doc-range bounds (and lets
+# block-max pruning skip) is per-range term ABSENCE plus dl, not raw tf.
+# Bursty mode therefore confines each golden phrase's domain words to a
+# 1-in-GOLDEN_TOPICS slice of "pages about that topic", enriched with the
+# phrase's words (plus the hub bursts below).
+GOLDEN_TOPICS = 512
+_ENRICH_P = 0.05
+_N_CORE = len(_HEAD_WORDS) + len(_DOMAIN_WORDS)
+# vocab index → owning golden-query topic (-1 = unrestricted). Only the
+# _DOMAIN_WORDS instance of a word is restricted: words that also sit in
+# the stopword-heavy head ("long", "sound") keep their global
+# distribution, so stopword-adjacent query terms stay high-df — realistic
+# mixed selectivity.
+_GOLDEN_TOPIC_OF_VOCAB = np.full(len(_VOCAB), -1, dtype=np.int64)
+for _qi, _phrase in enumerate(GOLDEN_PHRASES):
+    for _w in _phrase.split():
+        if _w in _DOMAIN_WORDS:
+            _GOLDEN_TOPIC_OF_VOCAB[len(_HEAD_WORDS)
+                                   + _DOMAIN_WORDS.index(_w)] = _qi
+_PHRASE_WORDS = [p.split() for p in GOLDEN_PHRASES]
+_PW_MAXLEN = max(len(ws) for ws in _PHRASE_WORDS)
+_PW_TABLE = np.array([[ws[j % len(ws)] for j in range(_PW_MAXLEN)]
+                      for ws in _PHRASE_WORDS])
+_PW_LEN = np.array([len(ws) for ws in _PHRASE_WORDS], dtype=np.int64)
+
+# Mixed-selectivity query set for the bursty corpus: each golden phrase
+# (rare topical terms, df ~1/GOLDEN_TOPICS) plus one head word that
+# SURVIVES the K2 query stoplist (df 10-20%) — the rare+common mix
+# block-max WAND benchmarks use, because the measurable win is skipping
+# the common term's long posting list once θ is set by full-coverage
+# topical docs.
+COMMON_QUERY_TAILS = ["water", "people", "time", "number", "day",
+                      "first", "way", "most", "know", "many"]
+
+
+def bursty_queries() -> list[str]:
+    return [p + " " + c for p, c in zip(GOLDEN_PHRASES, COMMON_QUERY_TAILS)]
+
 
 def planted_doc_offsets(query_idx: int) -> list[int]:
     return [(13 + query_idx * 89 + j * 101) % PLANT_PERIOD
@@ -140,8 +187,33 @@ def _hash_u(doc_ids: np.ndarray, stream: int) -> np.ndarray:
     return h.astype(np.float64) / float(2**64)
 
 
-def pages_pdf(doc_ids: np.ndarray) -> pd.DataFrame:
-    """Generate page rows for the given doc_ids (vectorized, deterministic)."""
+def pages_pdf(doc_ids: np.ndarray, bursty: bool = False,
+              plant: bool = True,
+              topics: int = GOLDEN_TOPICS) -> pd.DataFrame:
+    """Generate page rows for the given doc_ids (vectorized, deterministic).
+
+    ``bursty=True`` reshapes the corpus into the regime real web text
+    puts an index in, deterministic per (doc, position):
+
+      * TOPICAL df: each golden phrase owns a 1/``GOLDEN_TOPICS`` slice
+        of docs ("pages about X"); its domain words are remapped to
+        filler everywhere else and enriched (~5% of tokens) inside the
+        slice. Query-term df drops from ~12% to web-realistic ~0.2%, so
+        most doc-ranges hold NO postings for a query term — with k1=1.2
+        the tf side of BM25 saturates, and per-range term ABSENCE is
+        what actually differentiates block-max bounds. Words also in the
+        stopword-heavy head ("long") stay global: mixed selectivity.
+      * TWO-LEVEL tf bursts: ~6% of occurrences repeat 1+⌊u^-0.7⌋ times
+        (cap 24 — within-sentence repetition) and ~0.25% hub-burst
+        8+⌊u^-0.5⌋ times (cap 160 — a spec sheet mentioning its product
+        term dozens of times).
+
+    ``plant=False`` drops the golden-query relevance/distractor plants
+    (the bursty BENCH corpus uses this: plants deliberately scatter
+    near-θ docs into EVERY range — PLANT_PERIOD is prime for exactly that
+    — which flattens range bounds and hides the skip machinery the phase
+    exists to measure). The default corpus (bursty=False, plant=True) is
+    byte-identical to earlier revisions."""
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     n = len(doc_ids)
     # document length in tokens: 10..410, skewed short
@@ -155,6 +227,44 @@ def pages_pdf(doc_ids: np.ndarray) -> pd.DataFrame:
         pos + np.uint64(SEED))).astype(np.float64) / float(2**64)
     tok_idx = np.searchsorted(_CDF, u, side="right")
     words = _VOCAB_ARR[np.clip(tok_idx, 0, len(_VOCAB) - 1)]
+    if bursty and total:
+        # topical restriction: golden-phrase domain words survive only in
+        # docs of their topic (df drops to web-realistic ~0.2%); topic
+        # docs get enriched with their phrase's words
+        tok_clip = np.clip(tok_idx, 0, len(_VOCAB) - 1)
+        doc_topic = (_splitmix64(doc_ids.astype(np.uint64)
+                                 ^ _splitmix64(np.uint64(SEED * 53)))
+                     % np.uint64(topics)).astype(np.int64)
+        topic_rep = np.repeat(doc_topic, n_tok)
+        wt = _GOLDEN_TOPIC_OF_VOCAB[tok_clip]
+        mismatch = (wt >= 0) & (wt != topic_rep)
+        words = words.copy()
+        words[mismatch] = _VOCAB_ARR[
+            _N_CORE + (tok_clip[mismatch] * 13)
+            % (len(_VOCAB) - _N_CORE)]
+        ue = _splitmix64(doc_rep * np.uint64(0x27D4EB2F) ^ _splitmix64(
+            pos + np.uint64(SEED * 41))).astype(np.float64) / float(2**64)
+        upick = _splitmix64(doc_rep * np.uint64(0x165667B1) ^ _splitmix64(
+            pos + np.uint64(SEED * 43))).astype(np.float64) / float(2**64)
+        enrich = ((topic_rep < len(GOLDEN_PHRASES)) & (ue < _ENRICH_P)
+                  & (wt < 0))
+        et = topic_rep[enrich]
+        words[enrich] = _PW_TABLE[
+            et, (upick[enrich] * _PW_LEN[et]).astype(np.int64)]
+        # two-level heavy-tailed repetition (see docstring)
+        ub1 = _splitmix64(doc_rep * np.uint64(0xC2B2AE35) ^ _splitmix64(
+            pos + np.uint64(SEED * 31))).astype(np.float64) / float(2**64)
+        ub2 = _splitmix64(doc_rep * np.uint64(0x85EBCA77) ^ _splitmix64(
+            pos + np.uint64(SEED * 37))).astype(np.float64) / float(2**64)
+        u2 = np.maximum(ub2, 1e-12)
+        rep = np.ones(total, dtype=np.int64)
+        sent = ub1 < 0.06  # short within-sentence repetition
+        rep[sent] = 1 + np.minimum(u2[sent] ** -0.7, 24.0).astype(np.int64)
+        hub = ub1 < 0.0025  # rare "page about X" hub runs
+        rep[hub] = 8 + np.minimum(u2[hub] ** -0.5, 160.0).astype(np.int64)
+        words = np.repeat(words, rep)
+        n_tok = np.add.reduceat(rep, np.concatenate(
+            [[0], np.cumsum(n_tok)[:-1]]))
     bounds = np.concatenate([[0], np.cumsum(n_tok)])
     texts = [" ".join(words[bounds[i]:bounds[i + 1]]) for i in range(n)]
 
@@ -170,7 +280,7 @@ def pages_pdf(doc_ids: np.ndarray) -> pd.DataFrame:
     mod = doc_ids % PLANT_PERIOD
     rel_offsets = {off for qj in range(len(GOLDEN_PHRASES))
                    for off in planted_doc_offsets(qj)}
-    for qi, phrase in enumerate(GOLDEN_PHRASES):
+    for qi, phrase in enumerate(GOLDEN_PHRASES) if plant else ():
         words_q = phrase.split()
         for j, off in enumerate(planted_doc_offsets(qi)):
             syn = j == N_RELEVANT - 1
@@ -288,15 +398,17 @@ def page_meta_cols(df):
     })
 
 
-def pages_df(spark: SparkSession, n: int, partitions: int | None = None
-             ) -> DataFrame:
+def pages_df(spark: SparkSession, n: int, partitions: int | None = None,
+             bursty: bool = False, plant: bool = True,
+             topics: int = GOLDEN_TOPICS) -> DataFrame:
     """Distributed deterministic corpus of n pages."""
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     def gen(it):
         for pdf in it:
-            yield pages_pdf(pdf["id"].to_numpy())
+            yield pages_pdf(pdf["id"].to_numpy(), bursty=bursty,
+                            plant=plant, topics=topics)
 
     return (spark.range(0, n, numPartitions=partitions)
             .mapInPandas(gen, schema=PAGES_SCHEMA))

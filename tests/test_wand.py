@@ -176,6 +176,58 @@ def test_served_block_skip_ties_at_theta(spark, tmp_path):
     assert [r["score"] for r in skipped] == [r["score"] for r in plain]
 
 
+def test_bursty_corpus_skip_and_pruned_identity(spark, tmp_path):
+    """The bench's bursty/topical corpus (web-realistic mixed term
+    selectivity + heavy-tailed tf) must actually ENGAGE the skip
+    machinery on the mixed rare+common query set — and stay bitwise /
+    rank-identical with it on. This is the rank-identity gate behind the
+    headline BENCH bursty phase."""
+    import dataclasses
+
+    from review_recommender_spark.config import EngineConfig, bm25_north
+    from review_recommender_spark.corpus.pages import bursty_queries, pages_df
+    from review_recommender_spark.index.build import build_index
+    from review_recommender_spark.index.tableio import TableIO
+    from review_recommender_spark.query.bm25 import bm25_topk_served_batch
+
+    cfg = EngineConfig(bm25=bm25_north())
+    cfg = dataclasses.replace(
+        cfg, index=dataclasses.replace(cfg.index, range_shift=7,
+                                       term_buckets=8))
+    docs = pages_df(spark, 16000, partitions=16, bursty=True, plant=False)
+    idx = build_index(spark, docs, TableIO(str(tmp_path / "bursty")), cfg)
+    qs = bursty_queries()
+    # 2 shards so per-shard topical candidates exceed k (the bench corpus
+    # at 120k reaches that with its default shard count)
+    idx.warm(spark, serving_shards=2)
+    try:
+        stats: dict = {}
+        on = bm25_topk_served_batch(spark, idx, qs, k=10, block_skip=True,
+                                    stats=stats).collect()
+        off = bm25_topk_served_batch(spark, idx, qs, k=10,
+                                     block_skip=False).collect()
+    finally:
+        idx.unwarm()
+    key = lambda r: (r["query_id"], r["doc_id"], r["score"])  # noqa: E731
+    assert sorted(map(key, on)) == sorted(map(key, off))
+    dec = stats["decoded_blocks"].value
+    tot = stats["total_blocks"].value
+    assert dec * 3 <= tot * 2, (dec, tot)  # skip_ratio ≥ 1/3
+
+    # on-disk pruned path: rank identity + a real block-decode win
+    st_e: dict = {}
+    st_p: dict = {}
+    e = bm25_topk_exact(spark, idx, qs[0], k=10, stats=st_e).collect()
+    p = bm25_topk_pruned(spark, idx, qs[0], k=10, min_ranges_to_prune=1,
+                         stats=st_p).collect()
+    assert [r["doc_id"] for r in p] == [r["doc_id"] for r in e]
+    np.testing.assert_allclose([r["score"] for r in p],
+                               [r["score"] for r in e], rtol=1e-12)
+    assert st_p["decoded_blocks"].value * 2 \
+        <= st_e["decoded_blocks"].value, \
+        (st_p["decoded_blocks"].value, st_e["decoded_blocks"].value)
+
+
 def test_negative_idf_pruning_rank_safe(spark, tmp_path):
     """Degenerate/templated corpus where EVERY term's fixed-up idf is
     negative (df > n/2 for the whole vocabulary → vocabulary-mean raw idf
