@@ -49,13 +49,18 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--cores", type=int, default=None)
 
     d = sub.add_parser("delta-merge",
-                       help="merge an epoch of NEW docs into an existing "
+                       help="merge an epoch of docs into an existing "
                             "index (incremental maintenance; byte-equal "
-                            "to a rebuild over corpus+delta)")
+                            "to a rebuild over the resulting corpus)")
     d.add_argument("--index", required=True, help="existing index root")
     d.add_argument("--delta", required=True,
-                   help="parquet path (or synth:N) of NEW docs only")
+                   help="parquet path (or synth:N) of the epoch's docs")
     d.add_argument("--out", required=True, help="merged index root")
+    d.add_argument("--mode", choices=["insert", "upsert"], default="insert",
+                   help="upsert re-indexes doc_ids already in the index "
+                        "(delete+insert); insert rejects them")
+    d.add_argument("--delete", default=None,
+                   help="comma-separated doc_ids to tombstone")
     d.add_argument("--cores", type=int, default=None)
 
     args = ap.parse_args(argv)
@@ -91,8 +96,11 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "delta-merge":
         from .index.build import delta_merge_index
+        deletes = ([int(x) for x in args.delete.split(",")]
+                   if args.delete else None)
         merged = delta_merge_index(spark, idx, load_corpus(args.delta),
-                                   TableIO(args.out))
+                                   TableIO(args.out), mode=args.mode,
+                                   delete_doc_ids=deletes)
         print(json.dumps({"n_docs": merged.n_docs,
                           "vocab": merged.vocab_size,
                           "avgdl": merged.avgdl}))

@@ -741,37 +741,67 @@ def _write_stats_tables(spark: SparkSession, io: TableIO, cfg: EngineConfig,
                          avgdl=float(avgdl), vocab_size=int(vocab_size))
 
 
-def _blocks_to_partials():
+def _blocks_to_partials(purge_ids=None):
     """Inverse of the Stage C encode for merge purposes: decode persisted
     posting-block rows back into ``PARTIAL_SCHEMA`` rows (one partial per
     block — ``_merge_encode_partials`` accepts any partial granularity
-    and re-sorts/re-encodes per (term, range) group). Vectorized per
-    Arrow batch; the decode itself is the same bulk varint kernel the
-    query path uses."""
+    and re-sorts/re-encodes per (term, range) group).
+
+    BULK-vectorized like the encode side: per Arrow batch, ONE varint
+    decode over each concatenated column buffer, with per-block doc-id
+    reconstruction as a group-wise cumsum (each block's first delta is
+    its absolute doc id) — no per-block Python decode calls, so a delta
+    merge touching millions of groups stays numpy-bound.
+
+    ``purge_ids`` (optional sorted int64 np.ndarray): postings of these
+    doc_ids are DROPPED during the decode — the delete/upsert half of
+    incremental maintenance. Ships in the task closure; bounded by the
+    operator's epoch-size cost model (a purge too big to broadcast
+    should be a rebuild)."""
+    import numpy as np
+
+    purge = (np.asarray(purge_ids, dtype=np.int64)
+             if purge_ids is not None else None)
 
     def unpack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        from .codec import decode_block
+        from .codec import varint_decode
 
         for pdf in it:
             if not len(pdf):
                 continue
-            terms, rids, ns = [], [], []
-            da, ta, la = [], [], []
-            for term, rid, n, db, tb, lb in zip(
-                    pdf["term"], pdf["range_id"], pdf["n"],
-                    pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"]):
-                d, t, ln = decode_block(bytes(db), bytes(tb), bytes(lb),
-                                        int(n))
-                terms.append(term)
-                rids.append(int(rid))
-                ns.append(int(n))
-                da.append(d.astype(np.int64).tobytes())
-                ta.append(t.astype(np.int32).tobytes())
-                la.append(ln.astype(np.int32).tobytes())
-            yield pd.DataFrame({"term": terms, "range_id": rids, "n": ns,
-                                "doc_arr": da, "tf_arr": ta, "dl_arr": la})
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            total = int(ns.sum())
+            deltas = varint_decode(
+                b"".join(pdf["doc_bytes"]), total).astype(np.int64)
+            starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+            c = np.cumsum(deltas)
+            base = np.zeros(len(ns), dtype=np.int64)
+            base[1:] = c[starts[1:] - 1]
+            docs = c - np.repeat(base, ns)
+            tfs = varint_decode(
+                b"".join(pdf["tf_bytes"]), total).astype(np.int32)
+            dls = varint_decode(
+                b"".join(pdf["dl_bytes"]), total).astype(np.int32)
+            if purge is not None and len(purge):
+                gid = np.repeat(np.arange(len(ns)), ns)
+                keep = ~np.isin(docs, purge)
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+                ns = np.bincount(gid[keep], minlength=len(ns)) \
+                    .astype(np.int64)
+            ends = np.cumsum(ns)
+            bstarts = ends - ns
+            sel = np.flatnonzero(ns > 0)
+            yield pd.DataFrame({
+                "term": pdf["term"].to_numpy()[sel],
+                "range_id": pdf["range_id"].to_numpy()[sel],
+                "n": ns[sel].astype(np.int32),
+                "doc_arr": [docs[bstarts[i]:ends[i]].tobytes()
+                            for i in sel],
+                "tf_arr": [tfs[bstarts[i]:ends[i]].tobytes()
+                           for i in sel],
+                "dl_arr": [dls[bstarts[i]:ends[i]].tobytes()
+                           for i in sel],
+            })
 
     return unpack
 
@@ -784,7 +814,10 @@ def delta_merge_index(spark: SparkSession, main: InvertedIndex,
                       delta_docs: DataFrame | str, out_io: TableIO, *,
                       doc_id_col: str = "doc_id", text_col: str = "text",
                       shuffle_partitions: int | None = None,
-                      assert_new_docs: bool = True) -> InvertedIndex:
+                      assert_new_docs: bool = True,
+                      mode: str = "insert",
+                      delete_doc_ids=None,
+                      keep_staging: bool = False) -> InvertedIndex:
     """Incremental index maintenance: merge an epoch of NEW documents
     (e.g. the staging table ``streaming.ingest.stage_for_indexing``
     appends to — the Spark-native analogue of the reference's resume
@@ -820,11 +853,34 @@ def delta_merge_index(spark: SparkSession, main: InvertedIndex,
     index is written to ``out_io`` with lineage pointing at the parent
     index's snapshot ids (the child-snapshot contract).
 
-    ``assert_new_docs``: the merge kernel SUMS tf of duplicate
-    (term, range, doc) postings, which is only correct when delta doc_ids
-    are disjoint from the main corpus — re-indexing an existing doc must
-    go through a rebuild (or a future delete+merge). The default check
-    costs one broadcast-semi-join count over doc_stats."""
+    ``mode``:
+      * ``"insert"`` (default) — every delta doc_id must be NEW. The
+        merge kernel SUMS tf of duplicate (term, range, doc) postings,
+        which is only correct for disjoint doc_ids; ``assert_new_docs``
+        keeps the guard (one broadcast-semi-join count over doc_stats).
+      * ``"upsert"`` — delta doc_ids may already exist in the main index
+        (a re-crawled url with new text): the old version's postings are
+        PURGED from the touched groups during the main-block decode and
+        its doc_stats row replaced, i.e. re-index = delete + insert —
+        the Spark analogue of the reference re-running a shard for
+        changed inputs (nlp/11_build_product_embeddings.py:127-167).
+
+    ``delete_doc_ids`` (iterable of ints or a 1-column DataFrame):
+    tombstones — removed from postings and doc_stats with NO
+    replacement (corpus stats shrink; idf/avgdl recompute globally).
+    Combinable with either mode; deleting a doc that is also in the
+    delta is rejected as ambiguous. The purge set (upsert replacements +
+    deletes) is collected driver-side and shipped in the decode task
+    closure — epoch-sized by the same cost model as the touched-group
+    broadcast (a purge too large for that should be a rebuild).
+
+    ``keep_staging``: the DELTA_LOCAL_TF / DELTA_PARTIALS staging tables
+    are dropped after the merged POSTINGS commit (they are not part of
+    the index table contract); pass True to keep them for debugging."""
+    import numpy as np
+
+    if mode not in ("insert", "upsert"):
+        raise ValueError(f"delta_merge_index: unknown mode {mode!r}")
     cfg = main.cfg
     if isinstance(delta_docs, str):
         delta_docs = spark.read.parquet(delta_docs)
@@ -840,27 +896,75 @@ def delta_merge_index(spark: SparkSession, main: InvertedIndex,
                  lineage={"stage": "A-delta",
                           "parent_postings": parent_posts.get("snapshot_id")},
                  metrics={})
-    dtf = out_io.read(spark, DELTA_LOCAL_TF)
+    from .tableio import parquet_row_count
+    if parquet_row_count(out_io.path(DELTA_LOCAL_TF)):
+        dtf = out_io.read(spark, DELTA_LOCAL_TF)
+    else:
+        # delete-only merge: an empty staged parquet dir may carry no
+        # schema-bearing files, so substitute an in-memory empty frame
+        dtf = spark.createDataFrame(
+            [], "doc_id long, dl int, toks array<string>")
     d_ds = dtf.select("doc_id", "dl")
 
     main_ds = main.doc_stats(spark)
-    if assert_new_docs:
-        overlap = (main_ds.join(
-            F.broadcast(d_ds.select("doc_id")), "doc_id", "left_semi")
-            .limit(1).count())
-        if overlap:
+    # duplicate doc_ids WITHIN the delta double-count tf in any mode
+    dup = (d_ds.groupBy("doc_id").count().filter(F.col("count") > 1)
+           .limit(1).count())
+    if dup:
+        raise ValueError(
+            "delta_merge_index: delta contains duplicate doc_ids — "
+            "deduplicate the epoch (keep the latest crawl per doc) first")
+
+    delete_ids = np.asarray(
+        sorted(delete_doc_ids.toPandas().iloc[:, 0].astype("int64"))
+        if isinstance(delete_doc_ids, DataFrame)
+        else sorted(delete_doc_ids or []), dtype=np.int64)
+    if len(delete_ids):
+        clash = (d_ds.filter(F.col("doc_id").isin(
+            [int(x) for x in delete_ids])).limit(1).count())
+        if clash:
             raise ValueError(
-                "delta_merge_index: delta contains doc_ids already in the "
-                "main index — tf would be double-counted; re-indexing "
-                "existing docs requires a rebuild")
+                "delta_merge_index: a doc_id appears in both the delta "
+                "and delete_doc_ids — ambiguous; upsert it instead")
+        # deleting a doc the index never had is a no-op (Iceberg DELETE
+        # semantics); restrict to existing ids so the purge stays exact
+        existing = main_ds.filter(F.col("doc_id").isin(
+            [int(x) for x in delete_ids])).select("doc_id").collect()
+        delete_ids = np.asarray(sorted(r["doc_id"] for r in existing),
+                                dtype=np.int64)
+
+    if mode == "upsert":
+        replaced = (main_ds.join(F.broadcast(d_ds.select("doc_id")),
+                                 "doc_id", "left_semi")
+                    .select("doc_id").collect())
+        replaced_ids = np.asarray(sorted(r["doc_id"] for r in replaced),
+                                  dtype=np.int64)
+    else:
+        replaced_ids = np.zeros(0, dtype=np.int64)
+        if assert_new_docs:
+            overlap = (main_ds.join(
+                F.broadcast(d_ds.select("doc_id")), "doc_id", "left_semi")
+                .limit(1).count())
+            if overlap:
+                raise ValueError(
+                    "delta_merge_index: delta contains doc_ids already in "
+                    "the main index — tf would be double-counted; "
+                    "re-index existing docs with mode='upsert'")
+    purge_ids = np.union1d(replaced_ids, delete_ids)
 
     # ---- merged doc_stats (+ corpus scalars from its footers) ----
-    merged_ds = main_ds.unionByName(
+    survivors = main_ds
+    if len(purge_ids):
+        survivors = main_ds.join(
+            F.broadcast(spark.createDataFrame(
+                [(int(x),) for x in purge_ids], "doc_id long")),
+            "doc_id", "left_anti")
+    merged_ds = survivors.unionByName(
         d_ds.select("doc_id", F.col("dl").alias("doc_len")))
     out_io.write(merged_ds, DOC_STATS,
                  lineage={"parent": parent_ds.get("snapshot_id"),
                           "mode": "delta_merge"},
-                 metrics={})
+                 metrics={"purged": int(len(purge_ids))})
     n_docs, total_tokens, avgdl = _doc_scalars(spark, out_io, cfg)
 
     # ---- Stage C (delta only): map-side packed partials, staged ----
@@ -875,8 +979,24 @@ def delta_merge_index(spark: SparkSession, main: InvertedIndex,
     dp = out_io.read(spark, DELTA_PARTIALS)
 
     # ---- split main postings by touched (term, range) keys ----
-    touched = F.broadcast(dp.select("term", "range_id").distinct())
+    # touched = delta groups ∪ every group whose block INTERVAL contains
+    # a purged doc (we cannot know a purged doc's terms without its old
+    # text, but its postings can only live in blocks whose
+    # [first_doc_id, last_doc_id] covers it within its range)
     mp = main.postings(spark)
+    touched_keys = dp.select("term", "range_id")
+    if len(purge_ids):
+        pr = spark.createDataFrame(
+            [(int(x), int(x) >> cfg.index.range_shift) for x in purge_ids],
+            "p_doc long, p_range long")
+        purge_touched = (mp.join(
+            F.broadcast(pr),
+            (F.col("range_id") == F.col("p_range"))
+            & (F.col("p_doc") >= F.col("first_doc_id"))
+            & (F.col("p_doc") <= F.col("last_doc_id")),
+            "left_semi").select("term", "range_id"))
+        touched_keys = touched_keys.unionByName(purge_touched)
+    touched = F.broadcast(touched_keys.distinct())
     untouched = mp.join(touched, ["term", "range_id"], "left_anti")
     touched_main = mp.join(touched, ["term", "range_id"], "left_semi")
 
@@ -884,8 +1004,10 @@ def delta_merge_index(spark: SparkSession, main: InvertedIndex,
     main_parts = (touched_main
                   .select("term", "range_id", "n", "doc_bytes", "tf_bytes",
                           "dl_bytes")
-                  .mapInPandas(_blocks_to_partials(),
-                               schema=PARTIAL_SCHEMA))
+                  .mapInPandas(
+                      _blocks_to_partials(
+                          purge_ids if len(purge_ids) else None),
+                      schema=PARTIAL_SCHEMA))
     merged_blocks = (main_parts.unionByName(dp)
                      .repartition(shuffle_partitions, "term", "range_id")
                      .sortWithinPartitions("term", "range_id")
@@ -901,8 +1023,12 @@ def delta_merge_index(spark: SparkSession, main: InvertedIndex,
     out_io.write(new_posts, POSTINGS, partition_by=["term_bucket"],
                  lineage={"parent": parent_posts.get("snapshot_id"),
                           "mode": "delta_merge",
+                          "purged": int(len(purge_ids)),
                           "shuffle_partitions": shuffle_partitions},
                  metrics={})
+    if not keep_staging:
+        out_io.drop(DELTA_LOCAL_TF)
+        out_io.drop(DELTA_PARTIALS)
 
     return _write_stats_tables(spark, out_io, cfg, n_docs, avgdl,
                                total_tokens)

@@ -115,6 +115,16 @@ class TableIO:
     def exists(self, name: str) -> bool:
         return os.path.exists(self.path(name))
 
+    def drop(self, name: str) -> None:
+        """Remove a table's data directory AND its snapshot manifests —
+        for scratch/staging tables that are not part of a root's table
+        contract (e.g. the delta-merge staging tables, dropped once the
+        merged POSTINGS commit has landed). Iceberg analogue: DROP TABLE
+        PURGE."""
+        import shutil
+        shutil.rmtree(self.path(name), ignore_errors=True)
+        shutil.rmtree(self._snapshot_dir(name), ignore_errors=True)
+
     def snapshots(self, name: str) -> list[dict[str, Any]]:
         """All snapshot manifests for a table, oldest→newest by commit
         order (parent-chain walk from the current snapshot)."""

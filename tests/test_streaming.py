@@ -271,6 +271,161 @@ def test_delta_merge_interleaved_ranges_byte_identical(spark, tmp_path):
     assert _collect_index(spark, merged) == _collect_index(spark, scratch)
 
 
+def _recrawled(ids: "np.ndarray", salt: int = 10_000):
+    """New-version pages for existing doc_ids: content generated from a
+    shifted id stream (deterministically DIFFERENT text), doc_id set back
+    to the re-crawled id — the 'same url, new text' shape."""
+    import numpy as np  # noqa: F401
+    pdf = pages_pdf(ids + salt)
+    pdf["doc_id"] = ids
+    return pdf
+
+
+def test_delta_merge_upsert_byte_identical(spark, tmp_path):
+    """Re-crawled docs (same doc_id, NEW text) merged with mode='upsert'
+    must equal a from-scratch build over (unchanged docs + new versions +
+    new docs) byte-for-byte: the old versions' postings are purged from
+    touched groups, their doc_stats rows replaced, idf/avgdl recomputed."""
+    import numpy as np
+    import pandas as pd
+
+    from review_recommender_spark.index.build import (POSTINGS, build_index,
+                                                      delta_merge_index)
+    from review_recommender_spark.index.tableio import TableIO
+    from tests.test_resume import _collect_index
+
+    cfg = _delta_cfg()
+    main_pdf = pages_pdf(np.arange(600))
+    re_pdf = _recrawled(np.arange(550, 600))     # replaced versions
+    new_pdf = pages_pdf(np.arange(600, 650))     # brand-new docs
+    delta_pdf = pd.concat([re_pdf, new_pdf], ignore_index=True)
+    scratch_pdf = pd.concat([main_pdf.iloc[:550], re_pdf, new_pdf],
+                            ignore_index=True)
+
+    main = build_index(spark,
+                       spark.createDataFrame(main_pdf, schema=PAGES_SCHEMA),
+                       TableIO(str(tmp_path / "um")), cfg)
+    merged = delta_merge_index(
+        spark, main, spark.createDataFrame(delta_pdf, schema=PAGES_SCHEMA),
+        TableIO(str(tmp_path / "ume")), mode="upsert")
+    scratch = build_index(
+        spark, spark.createDataFrame(scratch_pdf, schema=PAGES_SCHEMA),
+        TableIO(str(tmp_path / "usc")), cfg)
+    assert _collect_index(spark, merged) == _collect_index(spark, scratch)
+    assert (merged.n_docs, merged.avgdl, merged.vocab_size) \
+        == (scratch.n_docs, scratch.avgdl, scratch.vocab_size)
+    snap = merged.io.current_snapshot(POSTINGS)
+    assert snap["lineage"]["purged"] == 50
+    # staging tables are dropped after the commit (not part of the
+    # index table contract)
+    assert not merged.io.exists("delta_local_tf")
+    assert not merged.io.exists("delta_partials")
+
+
+def test_delta_merge_delete_only_byte_identical(spark, tmp_path):
+    """Tombstone-only merge (empty delta + delete_doc_ids) must equal a
+    from-scratch build over the surviving docs — postings purged,
+    doc_stats rows gone, n_docs/avgdl/idf all shrunk."""
+    import numpy as np
+
+    from review_recommender_spark.index.build import (build_index,
+                                                      delta_merge_index)
+    from review_recommender_spark.index.tableio import TableIO
+    from tests.test_resume import _collect_index
+
+    cfg = _delta_cfg()
+    ids = np.arange(500)
+    dead = np.concatenate([[10, 100], np.arange(250, 261)])
+    main = build_index(
+        spark, spark.createDataFrame(pages_pdf(ids), schema=PAGES_SCHEMA),
+        TableIO(str(tmp_path / "dm0")), cfg)
+    empty = spark.createDataFrame([], PAGES_SCHEMA)
+    merged = delta_merge_index(
+        spark, main, empty, TableIO(str(tmp_path / "dme")),
+        delete_doc_ids=[int(x) for x in dead])
+    scratch = build_index(
+        spark,
+        spark.createDataFrame(pages_pdf(ids[~np.isin(ids, dead)]),
+                              schema=PAGES_SCHEMA),
+        TableIO(str(tmp_path / "dsc")), cfg)
+    assert _collect_index(spark, merged) == _collect_index(spark, scratch)
+    assert (merged.n_docs, merged.avgdl, merged.vocab_size) \
+        == (scratch.n_docs, scratch.avgdl, scratch.vocab_size)
+    # deleting a doc that never existed is a no-op, not an error
+    merged2 = delta_merge_index(
+        spark, main, empty, TableIO(str(tmp_path / "dme2")),
+        delete_doc_ids=[int(x) for x in dead] + [999_999])
+    assert _collect_index(spark, merged2) == _collect_index(spark, scratch)
+
+
+def test_delta_merge_upsert_plus_delete_byte_identical(spark, tmp_path):
+    """The full incremental shape in one epoch: new docs + re-crawled
+    docs + tombstones, vs a scratch rebuild of the resulting corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from review_recommender_spark.index.build import (build_index,
+                                                      delta_merge_index)
+    from review_recommender_spark.index.tableio import TableIO
+    from tests.test_resume import _collect_index
+
+    cfg = _delta_cfg()
+    main_pdf = pages_pdf(np.arange(400))
+    re_ids = np.arange(100, 130)
+    dead = np.arange(300, 320)
+    re_pdf = _recrawled(re_ids)
+    new_pdf = pages_pdf(np.arange(400, 450))
+    delta_pdf = pd.concat([re_pdf, new_pdf], ignore_index=True)
+    keep = ~np.isin(np.arange(400), np.concatenate([re_ids, dead]))
+    scratch_pdf = pd.concat([main_pdf.iloc[keep], re_pdf, new_pdf],
+                            ignore_index=True)
+
+    main = build_index(
+        spark, spark.createDataFrame(main_pdf, schema=PAGES_SCHEMA),
+        TableIO(str(tmp_path / "xm")), cfg)
+    merged = delta_merge_index(
+        spark, main, spark.createDataFrame(delta_pdf, schema=PAGES_SCHEMA),
+        TableIO(str(tmp_path / "xme")), mode="upsert",
+        delete_doc_ids=[int(x) for x in dead])
+    scratch = build_index(
+        spark, spark.createDataFrame(scratch_pdf, schema=PAGES_SCHEMA),
+        TableIO(str(tmp_path / "xsc")), cfg)
+    assert _collect_index(spark, merged) == _collect_index(spark, scratch)
+    assert (merged.n_docs, merged.avgdl, merged.vocab_size) \
+        == (scratch.n_docs, scratch.avgdl, scratch.vocab_size)
+
+
+def test_delta_merge_guards(spark, tmp_path):
+    """Ambiguous/unsound epochs must be rejected: a doc both deleted and
+    delivered, and duplicate doc_ids within one delta."""
+    import numpy as np
+    import pandas as pd
+
+    from review_recommender_spark.index.build import (build_index,
+                                                      delta_merge_index)
+    from review_recommender_spark.index.tableio import TableIO
+
+    cfg = _delta_cfg()
+    main = build_index(
+        spark,
+        spark.createDataFrame(pages_pdf(np.arange(200)),
+                              schema=PAGES_SCHEMA),
+        TableIO(str(tmp_path / "gm")), cfg)
+    delta = spark.createDataFrame(pages_pdf(np.arange(200, 250)),
+                                  schema=PAGES_SCHEMA)
+    with pytest.raises(ValueError, match="both the delta and delete"):
+        delta_merge_index(spark, main, delta,
+                          TableIO(str(tmp_path / "g1")),
+                          delete_doc_ids=[220])
+    dup_pdf = pd.concat([pages_pdf(np.arange(200, 230))] * 2,
+                        ignore_index=True)
+    with pytest.raises(ValueError, match="duplicate doc_ids"):
+        delta_merge_index(spark, main,
+                          spark.createDataFrame(dup_pdf,
+                                                schema=PAGES_SCHEMA),
+                          TableIO(str(tmp_path / "g2")))
+
+
 def test_delta_merge_rejects_duplicate_doc_ids(spark, tmp_path):
     """Re-indexing an existing doc through the merge would double-count
     its tf — the guard must refuse."""
