@@ -417,7 +417,8 @@ class InvertedIndex:
         return self.io.read(spark, TERM_STATS)
 
     def warm(self, spark: SparkSession, serving_shards: int | None = None,
-             idf_cache_max: int = 2_000_000) -> "InvertedIndex":
+             idf_cache_max: int = 2_000_000,
+             ranges=None) -> "InvertedIndex":
         """Pin postings + term_stats in executor memory for a query-serving
         session (the moral equivalent of the reference's st.cache_resource
         artifact memoization, app_product_search.py:53-119).
@@ -455,13 +456,35 @@ class InvertedIndex:
         The driver idf cache is ~60 B/term (str + float in a dict): the
         default ``idf_cache_max`` = 2M terms ≈ 120 MB driver RSS; larger
         vocabularies auto-fall-back to per-batch lookup jobs.
-        """
+
+        ``ranges`` (optional iterable of range_ids): PARTIAL warm — pin
+        only those doc-ranges' postings in the serving layout (the
+        head-shard strategy the envelope above prescribes at 10^9+ docs:
+        warm the hot ranges, leave the tail on disk). Served queries
+        stay RESULT-IDENTICAL: every served path unions an exact-scored
+        on-disk pass over the cold ranges (``query.bm25``'s
+        ``_cold_scores_batch``), so partial warm trades latency on cold
+        docs for memory, never correctness
+        (tests/test_wand.py::test_partial_warm_bitwise_identical). With
+        ``ranges`` given, the full postings table is NOT cached (that
+        memory saving is the point); exact/pruned paths read it on disk
+        as usual."""
         if self._cached:
             for df in self._cached.values():
                 if hasattr(df, "unpersist"):
                     df.unpersist()
-        postings = self.io.read(spark, POSTINGS).cache()
         term_stats = self.io.read(spark, TERM_STATS).cache()
+        cached: dict = {TERM_STATS: term_stats}
+        posts_src = self.io.read(spark, POSTINGS)
+        if ranges is not None:
+            warm_ranges = frozenset(int(r) for r in ranges)
+            cached["_warm_ranges"] = warm_ranges
+            posts_src = posts_src.filter(
+                F.col("range_id").isin([int(r) for r in warm_ranges])
+                if warm_ranges else F.lit(False))
+        else:
+            posts_src = posts_src.cache()
+            cached[POSTINGS] = posts_src
         if serving_shards is None:
             # fewer shards than shuffle width: a served query's per-shard
             # work is tiny, so task-launch overhead dominates — but keep
@@ -469,16 +492,16 @@ class InvertedIndex:
             # serving fleet sets this to its executor-slot count.
             serving_shards = max(
                 8, int(spark.conf.get("spark.sql.shuffle.partitions")) // 2)
-        serving = (postings.repartition(serving_shards, "range_id")
+        serving = (posts_src.repartition(serving_shards, "range_id")
                    .select("term", "range_id", "n", "first_doc_id",
                            "last_doc_id", "max_tf", "min_dl",
                            "doc_bytes", "tf_bytes", "dl_bytes")
                    .cache())
-        cached = {POSTINGS: postings, TERM_STATS: term_stats,
-                  "_serving": serving}
+        cached["_serving"] = serving
         object.__setattr__(self, "_cached", cached)
         for df in cached.values():
-            df.count()
+            if hasattr(df, "count"):
+                df.count()
         if self.vocab_size <= idf_cache_max:
             idf = {r["term"]: r["idf"]
                    for r in term_stats.select("term", "idf").collect()}
@@ -512,6 +535,14 @@ class InvertedIndex:
         """Driver-side idf map from warm state (None if not cached)."""
         if self._cached and "_idf" in self._cached:
             return self._cached["_idf"]
+        return None
+
+    def warm_ranges(self) -> frozenset | None:
+        """The resident range_id set of a PARTIAL warm, or None when the
+        whole postings table is warm (or nothing is). Served query paths
+        use this to route cold ranges through the on-disk exact pass."""
+        if self._cached and "_warm_ranges" in self._cached:
+            return self._cached["_warm_ranges"]
         return None
 
     def doc_stats(self, spark: SparkSession) -> DataFrame:

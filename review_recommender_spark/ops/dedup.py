@@ -97,14 +97,31 @@ def minhash_signatures(df: DataFrame, id_col: str, shingle_col: str,
 
 
 def minhash_lsh_candidates(sigs: DataFrame, bands: int = 4,
-                           rows_per_band: int = 4) -> DataFrame:
+                           rows_per_band: int = 4,
+                           max_bucket_size: int | None = 10_000,
+                           metrics: dict | None = None) -> DataFrame:
     """Band the signature into `bands` groups of `rows_per_band` values and
     bucket-join: docs sharing ALL values of any band become a candidate
     pair. One shuffle keyed by (band, band-values) — joining on the values
     themselves (an array key) rather than a hash of them keeps the
     candidate set exactly the LSH definition (no cross-bucket hash
     collisions) and makes the operator expressible in ANSI SQL for the
-    DuckDB oracle."""
+    DuckDB oracle.
+
+    ``max_bucket_size`` bounds the worst case: the within-bucket
+    self-join is quadratic in bucket size, and a degenerate bucket
+    (boilerplate-identical pages at web scale — the same cookie banner on
+    10^7 urls) would emit ~n²/2 pairs from one reducer. Buckets larger
+    than the cap are SKIPPED, keeping the operator sub-quadratic
+    unconditionally. Recall note: members of a skipped bucket are
+    (near-)identical by construction — that is exact-duplicate territory,
+    handled upstream by ``exact_dedup_by_fingerprint`` (and any true
+    near-dup pair in a skipped bucket still has ``bands - 1`` other
+    chances to collide in a smaller bucket). Pass ``metrics`` (a dict) to
+    receive ``lsh_skipped_buckets`` / ``lsh_skipped_rows`` /
+    ``lsh_max_bucket_size`` — the numbers an index-build snapshot would
+    log as lineage metrics; computing them costs one extra small action,
+    so they are opt-in. ``max_bucket_size=None`` disables the bound."""
     buckets = sigs.select(
         "mh_id",
         F.explode(F.array(*[
@@ -114,6 +131,24 @@ def minhash_lsh_candidates(sigs: DataFrame, bands: int = 4,
                      .alias("bucket"))
             for band in range(bands)])).alias("bb"))
     buckets = buckets.select("mh_id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "bucket").agg(
+            F.count("*").alias("__bn"))
+        if metrics is not None:
+            over = (sizes.agg(
+                F.sum(F.when(F.col("__bn") > max_bucket_size, 1)
+                      .otherwise(0)).alias("skipped"),
+                F.sum(F.when(F.col("__bn") > max_bucket_size,
+                             F.col("__bn")).otherwise(0)).alias("rows"),
+                F.max("__bn").alias("mx")).collect()[0])
+            metrics["lsh_skipped_buckets"] = int(over["skipped"] or 0)
+            metrics["lsh_skipped_rows"] = int(over["rows"] or 0)
+            metrics["lsh_max_bucket_size"] = int(over["mx"] or 0)
+        keep = sizes.filter(F.col("__bn") <= max_bucket_size) \
+            .select("band", "bucket")
+        # same shuffle key as the self-join below — co-partitioned, no
+        # extra exchange of the big side
+        buckets = buckets.join(keep, ["band", "bucket"], "left_semi")
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (left.join(right, ["band", "bucket"])

@@ -198,6 +198,53 @@ def _topk(partials: DataFrame, token_seq: list[str], k: int) -> DataFrame:
             .limit(k))
 
 
+def _fold_scores_batch(partials: DataFrame,
+                       token_seqs: list[list[str]]) -> DataFrame:
+    """Batch form of ``_fold_scores``: per-(query_id, doc_id) score as a
+    LEFT FOLD over THAT query's token sequence — same bit-exact addition
+    order, query sequences dispatched by a literal query_id→tokens map."""
+    tok_map = F.create_map(*[
+        x for qi, seq in enumerate(token_seqs)
+        for x in (F.lit(qi), F.array(*[F.lit(t) for t in seq]))])
+    g = partials.groupBy("query_id", "doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "score")))
+        .alias("__pm"))
+    folded = F.aggregate(
+        F.element_at(tok_map, F.col("query_id")), F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(F.element_at(F.col("__pm"), t),
+                                        F.lit(0.0)))
+    return g.select("query_id", "doc_id", folded.alias("score"))
+
+
+def _cold_scores_batch(spark: SparkSession, index: InvertedIndex,
+                       idf_map: dict, token_seqs: list[list[str]],
+                       warm_ranges: frozenset) -> DataFrame:
+    """Exact per-(query_id, doc_id) scores over posting blocks whose
+    range_id is NOT resident in a PARTIAL warm serving subset
+    (``InvertedIndex.warm(ranges=...)``) — the on-disk half every served
+    path unions in so partial warm stays result-identical to full warm.
+    Scores use the same per-block float expression and query-token fold
+    as every other path (bitwise contract). The resident set is excluded
+    with an isin literal — fine for the head-shard warming the memory
+    envelope prescribes (10-10^4 hot ranges); a fleet warming millions of
+    ranges would swap this for a broadcast anti-join."""
+    rows = [(qi, t, float(idf_map[t]))
+            for qi, seq in enumerate(token_seqs)
+            for t in sorted({x for x in seq if x in idf_map})]
+    if not rows:
+        return spark.createDataFrame([], "query_id int, " + RESULT_SCHEMA)
+    wdf = spark.createDataFrame(rows,
+                                "query_id int, term string, weight double")
+    blocks = _query_blocks(spark, index,
+                           sorted({t for _, t, _ in rows}))
+    blocks = blocks.filter(
+        ~F.col("range_id").isin([int(r) for r in warm_ranges])
+        if warm_ranges else F.lit(True))
+    joined = blocks.join(F.broadcast(wdf), "term")
+    partials = _score_weighted_blocks(joined, index, with_query_id=True)
+    return _fold_scores_batch(partials, token_seqs)
+
+
 def _mk_decode_acc(spark: SparkSession, stats: dict | None):
     if stats is None:
         return None
@@ -394,6 +441,14 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
     blocks = index.serving_df(spark).filter(
         F.col("term").isin(sorted(idf)))
     local = blocks.mapInPandas(kernel, schema=RESULT_SCHEMA)
+    wr = index.warm_ranges()
+    if wr is not None:
+        # partial warm: exact-score the cold (non-resident) ranges on
+        # disk and merge — result-identical to a fully-warm serve
+        cold = _cold_scores_batch(spark, index, idf,
+                                  [tokenize_k2_py(query)], wr) \
+            .drop("query_id")
+        local = local.unionByName(cold)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -437,6 +492,10 @@ def bm25_topk_served_batch(spark: SparkSession, index: InvertedIndex,
     blocks = index.serving_df(spark).filter(F.col("term").isin(known))
     local = blocks.mapInPandas(kernel,
                                schema="query_id int, " + RESULT_SCHEMA)
+    wr = index.warm_ranges()
+    if wr is not None:
+        local = local.unionByName(
+            _cold_scores_batch(spark, index, idf_map, token_seqs, wr))
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                F.asc("doc_id"))

@@ -294,8 +294,18 @@ def bm25_scores_batch_served(spark: SparkSession, index: InvertedIndex,
                                 "_bm25_raw": totals})
 
     blocks = index.serving_df(spark).filter(F.col("term").isin(known))
-    return blocks.mapInPandas(
+    out = blocks.mapInPandas(
         score_shard, schema="query_id int, doc_id long, _bm25_raw double")
+    wr = index.warm_ranges()
+    if wr is not None:
+        # partial warm (warm(ranges=...)): exact-score the cold ranges on
+        # disk and union — bit-identical to the fully-warm path (the cold
+        # fold uses the same float expression and query-token order)
+        from .bm25 import _cold_scores_batch
+        cold = _cold_scores_batch(spark, index, idf_q, token_seqs, wr) \
+            .withColumnRenamed("score", "_bm25_raw")
+        out = out.unionByName(cold)
+    return out
 
 
 def hybrid_search_batch(spark: SparkSession, index: InvertedIndex,

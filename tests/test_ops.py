@@ -63,6 +63,33 @@ def test_minhash_lsh_finds_planted_duplicates(spark, docs_df):
         assert (i, i + 1000) in pairs, f"planted dup {i} missed"
 
 
+def test_minhash_lsh_degenerate_bucket_bounded(spark):
+    """10k boilerplate-identical docs collapse into ONE bucket per band —
+    unbounded, the within-bucket self-join would emit ~5·10^7 pairs from
+    one reducer. The bucket-size cap must (a) complete with ZERO pairs
+    from the degenerate bucket, (b) report what it skipped via metrics,
+    and (c) keep genuinely near-dup pairs in small buckets."""
+    rows = [(i, "accept cookies privacy policy terms conditions banner")
+            for i in range(10_000)]
+    # two near-dup docs in their own small bucket
+    rows += [(20_000, "rare unique wording about garden furniture sets"),
+             (20_001, "rare unique wording about garden furniture sale")]
+    d = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", D.token_shingles(tokenize_k1_col(F.col("text")), 3)
+        .alias("sh"))
+    sigs = D.minhash_signatures(d, "doc_id", "sh", k=16)
+    m: dict = {}
+    cands = D.minhash_lsh_candidates(sigs, bands=4, rows_per_band=4,
+                                     max_bucket_size=100,
+                                     metrics=m).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in cands}
+    assert all(a >= 20_000 for a, _ in pairs), "degenerate bucket leaked"
+    assert (20_000, 20_001) in pairs  # small-bucket recall intact
+    assert m["lsh_skipped_buckets"] >= 4  # one giant bucket per band
+    assert m["lsh_max_bucket_size"] == 10_000
+    assert m["lsh_skipped_rows"] >= 40_000
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark, emb_df):
     """Production-tuned LSH (30 planes / 10 bands, the entry's settings)
     must hold mean recall ≥ 0.9 vs the exact scan. On this near-random

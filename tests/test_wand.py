@@ -176,6 +176,59 @@ def test_served_block_skip_ties_at_theta(spark, tmp_path):
     assert [r["score"] for r in skipped] == [r["score"] for r in plain]
 
 
+def test_partial_warm_bitwise_identical(spark, small_index):
+    """warm(ranges=...) pins only a subset of doc-ranges; served answers
+    must be BITWISE-identical to a fully-warm serve (cold ranges are
+    exact-scored on disk and merged). Covers single-query, batch, and the
+    hybrid scoring seam, plus the degenerate empty warm set."""
+    from review_recommender_spark.query.bm25 import (bm25_topk_served,
+                                                     bm25_topk_served_batch)
+    from review_recommender_spark.query.search import (
+        bm25_scores_batch, bm25_scores_batch_served)
+
+    small_index.warm(spark, serving_shards=5)
+    assert small_index.warm_ranges() is None
+    full = {q: bm25_topk_served(spark, small_index, q, k=10).collect()
+            for q in QUERIES}
+    key = lambda r: (r["query_id"], r["doc_id"], r["score"])  # noqa: E731
+    full_batch = sorted(map(key, bm25_topk_served_batch(
+        spark, small_index, QUERIES, k=10).collect()))
+
+    all_ranges = sorted(r["range_id"] for r in small_index.postings(spark)
+                        .select("range_id").distinct().collect())
+    assert len(all_ranges) >= 8
+    half = all_ranges[::2]
+    small_index.warm(spark, serving_shards=5, ranges=half)
+    try:
+        assert small_index.warm_ranges() == frozenset(half)
+        assert small_index.is_warm()
+        for q in QUERIES:
+            got = bm25_topk_served(spark, small_index, q, k=10).collect()
+            assert [(r["doc_id"], r["score"]) for r in got] \
+                == [(r["doc_id"], r["score"]) for r in full[q]], q
+        got_batch = sorted(map(key, bm25_topk_served_batch(
+            spark, small_index, QUERIES, k=10).collect()))
+        assert got_batch == full_batch
+        # hybrid scoring seam: partial-warm served == cold join path
+        qs = QUERIES[:2]
+        served = sorted(
+            (r["query_id"], r["doc_id"], r["_bm25_raw"]) for r in
+            bm25_scores_batch_served(spark, small_index, qs).collect())
+        cold = sorted(
+            (r["query_id"], r["doc_id"], r["_bm25_raw"]) for r in
+            bm25_scores_batch(spark, small_index, qs).collect())
+        assert served == cold
+
+        # empty warm set: the whole answer comes from the cold side
+        small_index.warm(spark, serving_shards=5, ranges=[])
+        got = bm25_topk_served(spark, small_index, QUERIES[0],
+                               k=10).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] \
+            == [(r["doc_id"], r["score"]) for r in full[QUERIES[0]]]
+    finally:
+        small_index.unwarm()
+
+
 def test_bursty_corpus_skip_and_pruned_identity(spark, tmp_path):
     """The bench's bursty/topical corpus (web-realistic mixed term
     selectivity + heavy-tailed tf) must actually ENGAGE the skip
