@@ -17,8 +17,14 @@ from .metrics import evaluate_query, mean_metrics
 
 def run_golden_eval(spark: SparkSession, index: InvertedIndex,
                     embeddings: DataFrame, doc_meta: DataFrame,
-                    n_docs: int, k: int = 20) -> dict[str, dict]:
-    """Returns {method: {metric: mean, "per_query": [...]}}."""
+                    n_docs: int, k: int = 20,
+                    query_encoder=None) -> dict[str, dict]:
+    """Returns {method: {metric: mean, "per_query": [...]}}.
+
+    ``query_encoder``: pass the matching text→vector callable when
+    ``embeddings`` was built with a non-default encoder (the
+    encoder-independence gate runs the whole table under a second,
+    independent stand-in — tests/test_golden_eval.py)."""
     queries = golden_queries(n_docs)
     out: dict[str, dict] = {}
     for method, sp in method_configs().items():
@@ -26,7 +32,8 @@ def run_golden_eval(spark: SparkSession, index: InvertedIndex,
         idx = dataclasses.replace(index, cfg=cfg)
         res = hybrid_search_batch(
             spark, idx, embeddings, doc_meta,
-            [q.query for q in queries], k=k).toPandas()
+            [q.query for q in queries], k=k,
+            query_encoder=query_encoder).toPandas()
         per_query = []
         for q in queries:
             ranked = (res[res["query_id"] == q.qid]

@@ -144,6 +144,60 @@ class HashingEncoder:
         return encode_batch(list(texts), self.dim)
 
 
+DIM_V2 = 384
+
+
+class HashingEncoderV2:
+    """Second, INDEPENDENT stand-in encoder — different hash family
+    (md5 vs crc32), different dimensionality (384 vs 256), two signed
+    probes per token instead of one, sqrt-tf instead of log1p weighting.
+
+    It exists for the golden eval's encoder-independence gate
+    (tests/test_golden_eval.py): the planted corpus was designed against
+    the default hashing encoder, so the reference method ordering
+    (hybrid+rerank ≥ hybrid ≥ singles) being reproduced under THIS
+    encoder too is evidence the eval measures the fusion design, not an
+    encoder/corpus co-tuning artifact. Shares only the synonym canon map
+    (engine-level semantics every dense stand-in needs to see the
+    paraphrase plants — the same public table the attribute gate uses)."""
+
+    def __init__(self, dim: int = DIM_V2):
+        self.dim = dim
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        import hashlib
+        n = len(texts)
+        dim = self.dim
+        out = np.zeros((n, dim), dtype=np.float64)
+        for i, text in enumerate(texts):
+            counts: dict[str, int] = {}
+            for t in _canon_tokens(text or ""):
+                counts[t] = counts.get(t, 0) + 1
+            for t, c in counts.items():
+                h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8],
+                                   "little")
+                w = float(np.sqrt(c))
+                out[i, h % dim] += (1.0 if (h >> 17) & 1 == 0 else -1.0) * w
+                out[i, (h >> 20) % dim] += \
+                    (1.0 if (h >> 37) & 1 == 0 else -1.0) * w
+            nn = float(np.linalg.norm(out[i]))
+            if nn > 0:
+                out[i] /= nn
+        return out.astype(np.float32)
+
+
+def hashing_encoder_v2():
+    """Module-level factory (the ``embed_documents`` seam contract)."""
+    return HashingEncoderV2()
+
+
+def encode_text_v2(text: str) -> np.ndarray:
+    """Query-side encode for HashingEncoderV2 (pairs with
+    ``embed_documents(..., dim=DIM_V2, model_factory=hashing_encoder_v2)``
+    via ``dense_topk_batch``'s query_encoder seam)."""
+    return HashingEncoderV2().encode([text])[0]
+
+
 # Per-PROCESS model singletons (python workers are reused across tasks;
 # keying by qualified name survives re-pickling of the factory per task).
 # This is the executor-side analogue of the reference's lazy global

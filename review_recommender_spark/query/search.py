@@ -44,7 +44,8 @@ POOL_SCHEMA = ("query_id int, doc_id long, rank int, _final float, "
 def dense_topk_batch(spark: SparkSession, embeddings: DataFrame,
                      queries: list[str], pool: int,
                      id_col: str = "doc_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     query_encoder=None) -> DataFrame:
     """(query_id, doc_id, _dense) — global per-query top-pool by cosine.
 
     The scan kernel is ``mapInArrow``, not ``mapInPandas``: the embedding
@@ -56,7 +57,11 @@ def dense_topk_batch(spark: SparkSession, embeddings: DataFrame,
     full lexsort, provably the same selection — see inline comment)."""
     import pyarrow as pa
 
-    qmat = np.stack([encode_text(q) for q in queries])  # (Q, D), normalized
+    # query_encoder: text -> normalized 1-D vector; MUST be the same
+    # encoder family/dim that produced the document embeddings (the
+    # default pairs with encoder.embed_documents' default model)
+    enc = query_encoder or encode_text
+    qmat = np.stack([enc(q) for q in queries])  # (Q, D), normalized
     dim = qmat.shape[1]
 
     def score(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -316,6 +321,7 @@ def hybrid_search_batch(spark: SparkSession, index: InvertedIndex,
                         reviews_emb: DataFrame | None = None,
                         dense_mode: str = "scan",
                         ivf=None,
+                        query_encoder=None,
                         ) -> DataFrame:
     """Full hybrid pipeline for a batch of queries.
 
@@ -329,7 +335,10 @@ def hybrid_search_batch(spark: SparkSession, index: InvertedIndex,
     too expensive; recall@pool ≥ 0.9 pytest-gated). 'ivf' requires
     ``ivf`` — a persisted ``ops.similarity.IvfIndex`` built ONCE offline
     with ``ivf_build`` (query time must never refit the quantizer; the
-    per-batch KMeans refit was round-2 VERDICT wrong #1)."""
+    per-batch KMeans refit was round-2 VERDICT wrong #1).
+    query_encoder: optional text→vector callable matching the encoder
+    that produced ``embeddings`` (scan mode only) — the seam the golden
+    eval uses to swap in an independent stand-in encoder."""
     cfg = cfg or index.cfg
     sp = cfg.second_pass
     pool = max(k, sp.rerank_k, sp.pool_floor)
@@ -340,9 +349,14 @@ def hybrid_search_batch(spark: SparkSession, index: InvertedIndex,
                 "dense_mode='ivf' needs a persisted IvfIndex: build once "
                 "with ops.similarity.ivf_build(embeddings, io) and pass "
                 "it as ivf=...")
+        if query_encoder is not None:
+            raise ValueError(
+                "query_encoder is only supported with dense_mode='scan' "
+                "(an IvfIndex is quantized in its build encoder's space)")
         dense = dense_topk_batch_ivf(spark, ivf, queries, pool)
     else:
-        dense = dense_topk_batch(spark, embeddings, queries, pool)
+        dense = dense_topk_batch(spark, embeddings, queries, pool,
+                                 query_encoder=query_encoder)
     if index.is_warm():
         # warm serving layout available → zero-shuffle BM25 stage with
         # driver-cached idf (bit-identical results, lower latency)

@@ -53,6 +53,43 @@ def test_method_ordering_matches_reference(eval_results):
     assert nd["hybrid"] >= min(nd["dense_only"], nd["bm25_only"]) + 0.05, nd
 
 
+@pytest.fixture(scope="module")
+def eval_results_v2(spark, small_pages, small_index):
+    """Same eval under the INDEPENDENT stand-in encoder (md5 hash family,
+    384 dims, sqrt-tf) the corpus was NOT designed against."""
+    from review_recommender_spark.query.encoder import (DIM_V2,
+                                                        encode_text_v2,
+                                                        hashing_encoder_v2)
+    emb = (embed_documents(small_pages.select("doc_id", "text"),
+                           dim=DIM_V2, model_factory=hashing_encoder_v2)
+           .select("doc_id", "embedding").cache())
+    emb.count()
+    meta = (small_pages.select("doc_id", F.col("text").alias("agg_text"))
+            .join(page_meta_cols(small_pages.select("doc_id")), "doc_id"))
+    res = run_golden_eval(spark, small_index, emb, meta, n_docs=1000, k=20,
+                          query_encoder=encode_text_v2)
+    emb.unpersist()
+    return res
+
+
+def test_method_ordering_holds_under_independent_encoder(eval_results_v2):
+    """Encoder-independence gate: the reference quality ordering must
+    hold under an encoder the planted corpus was not co-designed with —
+    evidence the golden eval measures the fusion design, not a
+    corpus/encoder tuning artifact."""
+    table = format_table(eval_results_v2)
+    print("\n" + table)
+    nd = {m: eval_results_v2[m]["ndcg@10"] for m in eval_results_v2}
+    assert nd["hybrid_rerank"] >= nd["hybrid"] - 1e-9, table
+    assert nd["hybrid"] >= max(nd["dense_only"], nd["bm25_only"]) - 1e-9, \
+        table
+    assert max(nd.values()) < 0.995, table
+    assert nd["hybrid"] >= min(nd["dense_only"], nd["bm25_only"]) + 0.05, \
+        table
+    # the dense signal itself must be non-degenerate under v2
+    assert nd["dense_only"] > 0.3, table
+
+
 def test_distractor_offsets_disjoint_from_relevants():
     from review_recommender_spark.corpus.pages import (
         GOLDEN_PHRASES, distractor_doc_offsets, planted_doc_offsets)
