@@ -20,6 +20,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = "review_recommender_spark"
 
 SMOKE_JOB = '''
+import json
 import sys
 from review_recommender_spark.session import get_spark
 from review_recommender_spark.corpus.pages import pages_df
@@ -35,7 +36,9 @@ idx = build_index(spark, pages_df(spark, 500),
 rows = bm25_topk_exact(spark, idx, "wireless bluetooth headphones",
                        k=5).collect()
 assert len(rows) == 5 and rows[0]["score"] > 0, rows
-print("SUBMIT_SMOKE_OK", rows[0]["doc_id"], round(rows[0]["score"], 4))
+# float hex → the in-process comparison in tests/test_submit.py is BITWISE
+print("SUBMIT_SMOKE_OK "
+      + json.dumps([[r["doc_id"], r["score"].hex()] for r in rows]))
 spark.stop()
 '''
 
@@ -53,25 +56,31 @@ def build_zip(out: str | None = None) -> str:
     return out
 
 
-def smoke(zip_path: str) -> None:
+def smoke(zip_path: str) -> list[tuple[int, float]]:
+    """Run the smoke job through a REAL ``spark-submit --master local[4]
+    --py-files <zip>`` from a neutral cwd with no repo PYTHONPATH (only
+    the zip provides the package) and return the top-k it printed as
+    [(doc_id, score)] — the deployment path the north rule names,
+    bitwise-compared to in-process results in tests/test_submit.py."""
+    import json
     with tempfile.TemporaryDirectory() as td:
         job = os.path.join(td, "job.py")
         with open(job, "w") as f:
             f.write(SMOKE_JOB)
-        # run from a neutral cwd so ONLY the zip provides the package
         env = dict(os.environ)
         env.pop("PYTHONPATH", None)
         res = subprocess.run(
             ["spark-submit", "--master", "local[4]", "--py-files", zip_path,
              job],
             capture_output=True, text=True, cwd=td, env=env, timeout=600)
-        ok = "SUBMIT_SMOKE_OK" in res.stdout
-        print(res.stdout.strip().splitlines()[-1] if res.stdout.strip()
-              else "(no stdout)")
-        if not ok:
+        marker = [ln for ln in res.stdout.splitlines()
+                  if ln.startswith("SUBMIT_SMOKE_OK ")]
+        if not marker:
             sys.stderr.write(res.stderr[-3000:])
             raise SystemExit("spark-submit smoke FAILED")
+        rows = json.loads(marker[0][len("SUBMIT_SMOKE_OK "):])
         print("spark-submit --py-files smoke: PASS")
+        return [(int(d), float.fromhex(s)) for d, s in rows]
 
 
 if __name__ == "__main__":
