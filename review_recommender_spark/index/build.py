@@ -778,11 +778,16 @@ def _blocks_to_partials(purge_ids=None):
     block — ``_merge_encode_partials`` accepts any partial granularity
     and re-sorts/re-encodes per (term, range) group).
 
-    BULK-vectorized like the encode side: per Arrow batch, ONE varint
-    decode over each concatenated column buffer, with per-block doc-id
+    BULK-vectorized like the encode side: ONE varint decode over each
+    concatenated column buffer per chunk, with per-block doc-id
     reconstruction as a group-wise cumsum (each block's first delta is
     its absolute doc id) — no per-block Python decode calls, so a delta
-    merge touching millions of groups stays numpy-bound.
+    merge touching millions of groups stays numpy-bound. Chunked at
+    ~2k block rows: the vectorized decode's intermediates are sized by
+    the chunk's posting count, and keeping them ~1-2 MB keeps every pass
+    in cache-hot, already-faulted pages (one whole-batch decode was
+    measured SLOWER than per-block here — dominated by first-touch page
+    faults on tens of MB of fresh intermediates, not by compute).
 
     ``purge_ids`` (optional sorted int64 np.ndarray): postings of these
     doc_ids are DROPPED during the decode — the delete/upsert half of
@@ -793,46 +798,56 @@ def _blocks_to_partials(purge_ids=None):
 
     purge = (np.asarray(purge_ids, dtype=np.int64)
              if purge_ids is not None else None)
+    chunk_rows = 2048
 
     def unpack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for big in it:
+            for lo in range(0, len(big), chunk_rows):
+                pdf = big.iloc[lo:lo + chunk_rows]
+                out = _unpack_chunk(pdf)
+                if out is not None:
+                    yield out
+
+    def _unpack_chunk(pdf: pd.DataFrame) -> pd.DataFrame | None:
         from .codec import varint_decode
 
-        for pdf in it:
-            if not len(pdf):
-                continue
-            ns = pdf["n"].to_numpy(dtype=np.int64)
-            total = int(ns.sum())
-            deltas = varint_decode(
-                b"".join(pdf["doc_bytes"]), total).astype(np.int64)
-            starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
-            c = np.cumsum(deltas)
-            base = np.zeros(len(ns), dtype=np.int64)
-            base[1:] = c[starts[1:] - 1]
-            docs = c - np.repeat(base, ns)
-            tfs = varint_decode(
-                b"".join(pdf["tf_bytes"]), total).astype(np.int32)
-            dls = varint_decode(
-                b"".join(pdf["dl_bytes"]), total).astype(np.int32)
-            if purge is not None and len(purge):
-                gid = np.repeat(np.arange(len(ns)), ns)
-                keep = ~np.isin(docs, purge)
-                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
-                ns = np.bincount(gid[keep], minlength=len(ns)) \
-                    .astype(np.int64)
-            ends = np.cumsum(ns)
-            bstarts = ends - ns
-            sel = np.flatnonzero(ns > 0)
-            yield pd.DataFrame({
-                "term": pdf["term"].to_numpy()[sel],
-                "range_id": pdf["range_id"].to_numpy()[sel],
-                "n": ns[sel].astype(np.int32),
-                "doc_arr": [docs[bstarts[i]:ends[i]].tobytes()
-                            for i in sel],
-                "tf_arr": [tfs[bstarts[i]:ends[i]].tobytes()
-                           for i in sel],
-                "dl_arr": [dls[bstarts[i]:ends[i]].tobytes()
-                           for i in sel],
-            })
+        if not len(pdf):
+            return None
+        ns = pdf["n"].to_numpy(dtype=np.int64)
+        total = int(ns.sum())
+        deltas = varint_decode(
+            b"".join(pdf["doc_bytes"]), total).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+        c = np.cumsum(deltas)
+        base = np.zeros(len(ns), dtype=np.int64)
+        base[1:] = c[starts[1:] - 1]
+        docs = c - np.repeat(base, ns)
+        tfs = varint_decode(
+            b"".join(pdf["tf_bytes"]), total).astype(np.int32)
+        dls = varint_decode(
+            b"".join(pdf["dl_bytes"]), total).astype(np.int32)
+        if purge is not None and len(purge):
+            gid = np.repeat(np.arange(len(ns)), ns)
+            keep = ~np.isin(docs, purge)
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+            ns = np.bincount(gid[keep], minlength=len(ns)) \
+                .astype(np.int64)
+        ends = np.cumsum(ns)
+        bstarts = ends - ns
+        sel = np.flatnonzero(ns > 0)
+        if not len(sel):
+            return None
+        return pd.DataFrame({
+            "term": pdf["term"].to_numpy()[sel],
+            "range_id": pdf["range_id"].to_numpy()[sel],
+            "n": ns[sel].astype(np.int32),
+            "doc_arr": [docs[bstarts[i]:ends[i]].tobytes()
+                        for i in sel],
+            "tf_arr": [tfs[bstarts[i]:ends[i]].tobytes()
+                       for i in sel],
+            "dl_arr": [dls[bstarts[i]:ends[i]].tobytes()
+                       for i in sel],
+        })
 
     return unpack
 
