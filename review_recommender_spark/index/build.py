@@ -418,7 +418,7 @@ class InvertedIndex:
 
     def warm(self, spark: SparkSession, serving_shards: int | None = None,
              idf_cache_max: int = 2_000_000,
-             ranges=None) -> "InvertedIndex":
+             ranges=None, max_bytes: int | None = None) -> "InvertedIndex":
         """Pin postings + term_stats in executor memory for a query-serving
         session (the moral equivalent of the reference's st.cache_resource
         artifact memoization, app_product_search.py:53-119).
@@ -468,7 +468,44 @@ class InvertedIndex:
         (tests/test_wand.py::test_partial_warm_bitwise_identical). With
         ``ranges`` given, the full postings table is NOT cached (that
         memory saving is the point); exact/pruned paths read it on disk
-        as usual."""
+        as usual.
+
+        ``max_bytes`` (optional int): BUDGETED partial warm — pick the
+        resident range set automatically so its encoded posting payload
+        fits the budget, then warm exactly like ``ranges=``. Selection is
+        greedy by descending per-range posting bytes (with explicit
+        range_id tie-break): without query logs the engine cannot know
+        which ranges are traffic-hot, and posting mass is the defensible
+        prior — the densest ranges hold the most scoreable (term, doc)
+        pairs per query, so each warmed byte removes the most cold-path
+        decode work. An operator WITH query logs should pass ``ranges=``
+        (the two are mutually exclusive). A budget smaller than the
+        smallest range warms nothing — still result-identical, every
+        range served by the cold on-disk pass. Sizing uses the same
+        driver-side per-range aggregate a fleet controller would read
+        from table statistics: one column-pruned Spark job over the
+        three encoded byte columns, no decode."""
+        if ranges is not None and max_bytes is not None:
+            raise ValueError(
+                "warm(): pass ranges= (explicit hot set) OR max_bytes= "
+                "(budgeted auto-pick), not both")
+        if max_bytes is not None:
+            if max_bytes < 0:
+                raise ValueError("warm(): max_bytes must be >= 0")
+            sizes = (self.io.read(spark, POSTINGS)
+                     .groupBy("range_id")
+                     .agg(F.sum(F.octet_length("doc_bytes")
+                                + F.octet_length("tf_bytes")
+                                + F.octet_length("dl_bytes"))
+                          .alias("bytes"))
+                     .collect())
+            picked, spent = [], 0
+            for row in sorted(sizes,
+                              key=lambda r: (-r["bytes"], r["range_id"])):
+                if spent + row["bytes"] <= max_bytes:
+                    picked.append(row["range_id"])
+                    spent += row["bytes"]
+            ranges = picked
         if self._cached:
             for df in self._cached.values():
                 if hasattr(df, "unpersist"):

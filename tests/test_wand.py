@@ -229,6 +229,58 @@ def test_partial_warm_bitwise_identical(spark, small_index):
         small_index.unwarm()
 
 
+def test_budgeted_warm_picks_by_mass_and_stays_bitwise(spark, small_index):
+    """warm(max_bytes=...) must (a) reject combination with ranges=,
+    (b) pick ranges greedily by descending encoded posting bytes within
+    the budget, (c) answer bitwise-identically to fully-warm, and
+    (d) degrade to an all-cold (empty) warm set under a tiny budget."""
+    import pyspark.sql.functions as F
+
+    from review_recommender_spark.query.bm25 import bm25_topk_served
+
+    with pytest.raises(ValueError):
+        small_index.warm(spark, ranges=[0], max_bytes=1024)
+    with pytest.raises(ValueError):
+        small_index.warm(spark, max_bytes=-1)
+
+    sizes = {r["range_id"]: r["bytes"] for r in
+             small_index.postings(spark).groupBy("range_id")
+             .agg(F.sum(F.octet_length("doc_bytes")
+                        + F.octet_length("tf_bytes")
+                        + F.octet_length("dl_bytes")).alias("bytes"))
+             .collect()}
+    assert len(sizes) >= 8
+    order = sorted(sizes, key=lambda rid: (-sizes[rid], rid))
+    # budget that fits the top-3-by-mass exactly (greedy packs smaller
+    # ranges too if they still fit, so leave no slack: Σ top-3)
+    budget = sum(sizes[rid] for rid in order[:3])
+    small_index.warm(spark, serving_shards=5)
+    full = bm25_topk_served(spark, small_index, QUERIES[0], k=10).collect()
+
+    small_index.warm(spark, serving_shards=5, max_bytes=budget)
+    try:
+        picked = small_index.warm_ranges()
+        assert picked is not None and picked
+        assert sum(sizes[rid] for rid in picked) <= budget
+        # greedy-by-mass: the single heaviest range is always in
+        assert order[0] in picked
+        got = bm25_topk_served(spark, small_index, QUERIES[0],
+                               k=10).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] \
+            == [(r["doc_id"], r["score"]) for r in full]
+
+        # budget below the smallest range: warms nothing, still identical
+        small_index.warm(spark, serving_shards=5,
+                         max_bytes=min(sizes.values()) - 1)
+        assert small_index.warm_ranges() == frozenset()
+        got = bm25_topk_served(spark, small_index, QUERIES[0],
+                               k=10).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] \
+            == [(r["doc_id"], r["score"]) for r in full]
+    finally:
+        small_index.unwarm()
+
+
 def test_bursty_corpus_skip_and_pruned_identity(spark, tmp_path):
     """The bench's bursty/topical corpus (web-realistic mixed term
     selectivity + heavy-tailed tf) must actually ENGAGE the skip
