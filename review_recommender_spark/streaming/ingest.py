@@ -103,3 +103,45 @@ def stage_for_indexing(pages: DataFrame, staging_path: str,
             .foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_path)
             .trigger(availableNow=True))
+
+
+def merge_staged_epochs(spark, main, staging_path: str, out_io, *,
+                        doc_id_col: str = "doc_id",
+                        ts_col: str = "warc_ts",
+                        text_col: str = "text",
+                        shuffle_partitions: int | None = None):
+    """Fold EVERY staged epoch into the index in ONE delta merge.
+
+    ``stage_for_indexing`` lands micro-batches as ``epoch=N`` partition
+    dirs; merging them one epoch at a time rewrites the untouched main
+    blocks once PER EPOCH, so a staging backlog of k epochs costs k
+    full-snapshot rewrites. This helper reads the whole staging table
+    (Spark discovers ``epoch`` as a partition column), resolves
+    re-crawls WITHIN the backlog keep-latest per doc — by event time
+    ``ts_col``, then ``epoch`` arrival order, then a content hash as a
+    deterministic last tie-break — and runs a single
+    ``delta_merge_index(mode='upsert')``, so the snapshot rewrite and
+    the global stats recompute are paid once regardless of backlog
+    depth. The dedup shuffle is over the BACKLOG only (delta-sized),
+    never the main corpus.
+
+    Byte-identity with a from-scratch rebuild over (main ∪ final
+    versions) is gated in tests/test_streaming.py alongside the
+    single-epoch staged-stream test."""
+    from pyspark.sql import Window
+
+    from ..index.build import delta_merge_index
+
+    staged = spark.read.parquet(staging_path)
+    if "epoch" not in staged.columns:
+        staged = staged.withColumn("epoch", F.lit(0))
+    w = (Window.partitionBy(doc_id_col)
+         .orderBy(F.desc(ts_col), F.desc("epoch"),
+                  F.desc(F.crc32(F.col(text_col)))))
+    latest = (staged.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1)
+              .drop("_rn", "epoch"))
+    return delta_merge_index(spark, main, latest, out_io,
+                             doc_id_col=doc_id_col, text_col=text_col,
+                             shuffle_partitions=shuffle_partitions,
+                             mode="upsert")

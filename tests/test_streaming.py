@@ -395,6 +395,69 @@ def test_delta_merge_upsert_plus_delete_byte_identical(spark, tmp_path):
         == (scratch.n_docs, scratch.avgdl, scratch.vocab_size)
 
 
+def test_merge_staged_epochs_one_pass_latest_wins(spark, tmp_path):
+    """A k-epoch staging backlog folds into the index in ONE upsert merge
+    with keep-latest-per-doc semantics: event time (warc_ts) wins over
+    epoch arrival order, epoch order breaks ts ties. Byte-identical to a
+    from-scratch build over (main with the final versions + new docs),
+    paying the snapshot rewrite once, not once per epoch."""
+    import numpy as np
+    import pandas as pd
+
+    from review_recommender_spark.index.build import POSTINGS, build_index
+    from review_recommender_spark.index.tableio import TableIO
+    from review_recommender_spark.streaming.ingest import merge_staged_epochs
+    from tests.test_resume import _collect_index
+
+    cfg = _delta_cfg()
+    main_pdf = pages_pdf(np.arange(400))
+
+    # epoch 0: new docs 400..440 + re-crawl v1 of 100..120 (ts +Jan-2024;
+    # doc 119's v1 carries a LATER event time than its epoch-1 v2 — an
+    # out-of-order arrival whose event time must still win)
+    v1 = _recrawled(np.arange(100, 120), salt=10_000)
+    v1["warc_ts"] = pd.Timestamp("2024-01-01")
+    v1.loc[v1["doc_id"] == 119, "warc_ts"] = pd.Timestamp("2024-06-01")
+    ep0 = pd.concat([pages_pdf(np.arange(400, 440)), v1],
+                    ignore_index=True)
+    # epoch 1: new docs 440..480 + re-crawl v2 of 110..130 (ts Feb-2024)
+    v2 = _recrawled(np.arange(110, 130), salt=20_000)
+    v2["warc_ts"] = pd.Timestamp("2024-02-01")
+    ep1 = pd.concat([pages_pdf(np.arange(440, 480)), v2],
+                    ignore_index=True)
+
+    staging = tmp_path / "bk_staging"
+    for i, ep in enumerate((ep0, ep1)):
+        (spark.createDataFrame(ep, schema=PAGES_SCHEMA).coalesce(1)
+         .write.parquet(str(staging / f"epoch={i}")))
+
+    main = build_index(spark,
+                       spark.createDataFrame(main_pdf, schema=PAGES_SCHEMA),
+                       TableIO(str(tmp_path / "bkm")), cfg)
+    merged = merge_staged_epochs(spark, main, str(staging),
+                                 TableIO(str(tmp_path / "bkmerged")))
+
+    # expected final text per doc: v2 wins the 110..129 overlap EXCEPT
+    # doc 119 (its v1 event time is later); v1 keeps 100..109
+    final = pd.concat([
+        main_pdf[(main_pdf["doc_id"] < 100) | (main_pdf["doc_id"] >= 130)],
+        v1[v1["doc_id"] < 110],
+        v1[v1["doc_id"] == 119],
+        v2[v2["doc_id"] != 119],
+        pages_pdf(np.arange(400, 480)),
+    ], ignore_index=True)
+    scratch = build_index(
+        spark, spark.createDataFrame(final, schema=PAGES_SCHEMA),
+        TableIO(str(tmp_path / "bksc")), cfg)
+    assert _collect_index(spark, merged) == _collect_index(spark, scratch)
+    assert (merged.n_docs, merged.avgdl, merged.vocab_size) \
+        == (scratch.n_docs, scratch.avgdl, scratch.vocab_size)
+    # one merge = one child snapshot, 30 purged (the re-crawled doc set)
+    snap = merged.io.current_snapshot(POSTINGS)
+    assert snap["lineage"]["mode"] == "delta_merge"
+    assert snap["lineage"]["purged"] == 30
+
+
 def test_delta_merge_guards(spark, tmp_path):
     """Ambiguous/unsound epochs must be rejected: a doc both deleted and
     delivered, and duplicate doc_ids within one delta."""
