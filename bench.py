@@ -65,8 +65,14 @@ def main() -> None:
     # disk, which would understate scaling for IO-bearing stages.
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     if shm and os.environ.get("SPARK_GRAFT_BENCH_TMPFS", "1") == "1":
+        # pid-suffixed: the teardown below rmtree's this dir, and a SHARED
+        # name means one finishing bench deletes a concurrently running
+        # bench's live shuffle files (observed: a 62s side bench silently
+        # killed a pinned scaling rep mid-build). Unique-per-process keeps
+        # cleanup scoped to the process that owns the files.
         os.environ.setdefault("SPARK_LOCAL_DIRS",
-                              os.path.join(shm, "rrs_spark_local"))
+                              os.path.join(shm,
+                                           f"rrs_spark_local_{os.getpid()}"))
         tmp_base = shm
     else:
         tmp_base = None
