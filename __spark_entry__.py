@@ -124,6 +124,39 @@ def q_ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
+def q_ft_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED retrieval (exact path): true BM25 top-k of the lang='en'
+    slice of the corpus — the predicate is applied BEFORE top-k via a
+    LEFT SEMI join of score partials against the pushed-down metadata
+    scan (query/bm25.py::_apply_doc_filter)."""
+    idx = _doc_index(spark, sf_dir)
+    fd = _load(spark, sf_dir, "documents") \
+        .filter(F.col("lang") == "en").select("doc_id")
+    res = bm25_topk_exact(spark, idx, BM25_QUERY, k=BM25_K, filter_docs=fd)
+    return (res.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
+def q_ft_bm25_topk_filtered_served(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """FILTERED retrieval on the zero-shuffle SERVED path: the filter
+    survivor set ships to the shards as a sorted doc_id mask inside the
+    local-top-k kernel (query/bm25.py::_served_local_topk allowed=),
+    bitwise-identical to the exact semi-join route
+    (tests/test_filtered.py) — so the same DuckDB recomputation gates
+    both plans."""
+    idx = _doc_index(spark, sf_dir)
+    if not idx.is_warm():
+        idx.warm(spark)
+    fd = _load(spark, sf_dir, "documents") \
+        .filter(F.col("lang") == "en").select("doc_id")
+    from review_recommender_spark.query.bm25 import bm25_topk_served
+    res = bm25_topk_served(spark, idx, BM25_QUERY, k=BM25_K,
+                           filter_docs=fd)
+    return (res.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
 def q_ft_bm25_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVING path under the driver's oracle: warm doc-sharded
     layout, both queries answered in one map stage
@@ -649,6 +682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_postings": q_ft_postings,
         "ft_bm25_topk": q_ft_bm25_topk,
         "ft_bm25_topk_served": q_ft_bm25_topk_served,
+        "ft_bm25_topk_filtered": q_ft_bm25_topk_filtered,
+        "ft_bm25_topk_filtered_served": q_ft_bm25_topk_filtered_served,
         "tpch_q1": q_tpch_q1,
         "top3_lineitems": q_top3_lineitems,
         "customer_order_totals": q_customer_order_totals,
@@ -711,9 +746,15 @@ idf AS (SELECT term, df,
 """
 
 
-def _bm25_sql(query: str, k1: float, b: float, k: int) -> str:
+def _bm25_sql(query: str, k1: float, b: float, k: int,
+              doc_where: str | None = None) -> str:
+    """``doc_where`` (optional SQL predicate over the documents table):
+    filtered retrieval — scores are restricted to matching docs BEFORE
+    the LIMIT, mirroring the engine's before-top-k filter contract."""
     qtf = Counter(tokenize_k2_py(query))
     vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
+    flt = (f"WHERE doc_id IN (SELECT doc_id FROM documents "
+           f"WHERE {doc_where}) " if doc_where else "")
     return f"""{_FT_BASE},
 q(term, qtf) AS (VALUES {vals}),
 scores AS (
@@ -724,7 +765,7 @@ scores AS (
   FROM q JOIN idf USING (term) JOIN tfc USING (term)
          JOIN doclen ON tfc.doc_id = doclen.doc_id
   GROUP BY tfc.doc_id)
-SELECT doc_id, round(s, 4) AS score FROM scores
+SELECT doc_id, round(s, 4) AS score FROM scores {flt}
 ORDER BY s DESC, doc_id LIMIT {k}"""
 
 
@@ -958,6 +999,10 @@ SELECT term, df, round(idf, 6) AS idf FROM idf WHERE df >= 50""",
 SELECT term, doc_id, tf FROM tfc
 WHERE term IN ({', '.join(repr(t) for t in PROBE_TERMS)})""",
         "ft_bm25_topk": _bm25_sql(BM25_QUERY, 1.2, 0.75, BM25_K),
+        "ft_bm25_topk_filtered": _bm25_sql(BM25_QUERY, 1.2, 0.75, BM25_K,
+                                           doc_where="lang = 'en'"),
+        "ft_bm25_topk_filtered_served": _bm25_sql(
+            BM25_QUERY, 1.2, 0.75, BM25_K, doc_where="lang = 'en'"),
         "ft_bm25_topk_served": " UNION ALL ".join(
             f"SELECT {qi} AS query_id, t.* "
             f"FROM ({_bm25_sql(q, 1.2, 0.75, BM25_K)}) t"

@@ -253,9 +253,53 @@ def _mk_decode_acc(spark: SparkSession, stats: dict | None):
     return acc
 
 
+def _apply_doc_filter(partials: DataFrame,
+                      filter_docs: DataFrame | None) -> DataFrame:
+    """Restrict per-(doc, term) score partials to documents present in
+    ``filter_docs`` (any DataFrame with a ``doc_id`` column — typically a
+    metadata scan with the predicate pushed down to parquet, e.g.
+    ``docs.filter(F.col("lang") == "en").select("doc_id")``).
+
+    A LEFT SEMI join BEFORE the per-doc fold/top-k: filtered retrieval
+    must drop excluded docs before they occupy top-k slots (post-filtering
+    a top-k underfills the result), and filtering at partial granularity
+    also shrinks the fold's groupBy input. Score values are untouched, so
+    filtered results stay bitwise-comparable across execution paths.
+    Catalyst broadcasts the filtered id side when it is small; a
+    non-selective filter degrades to a doc_id-keyed shuffle join — the
+    honest cost of filtering at 10^12 docs without a filter-aligned
+    partition layout."""
+    if filter_docs is None:
+        return partials
+    return partials.join(filter_docs.select("doc_id"), "doc_id",
+                         "left_semi")
+
+
+def _collect_filter_ids(filter_docs: DataFrame | None, cap: int):
+    """Driver-side sorted unique doc_id array for the zero-shuffle served
+    kernels, or None when the filter survivor set exceeds ``cap`` (the
+    caller then falls back to the join-based exact path). The limit-(cap+1)
+    probe bounds driver memory: at the default cap (5M ids = 40 MB int64)
+    this is the same envelope as the warm idf cache."""
+    if filter_docs is None:
+        return None, False
+    import numpy as np
+    rows = (filter_docs.select("doc_id").distinct()
+            .limit(cap + 1).collect())
+    if len(rows) > cap:
+        return None, True          # too big to broadcast — fall back
+    ids = np.array(sorted(r["doc_id"] for r in rows), dtype=np.int64)
+    return ids, False
+
+
 def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query: str,
-                    k: int = 10, stats: dict | None = None) -> DataFrame:
-    """Exact BM25 top-k in one action."""
+                    k: int = 10, stats: dict | None = None,
+                    filter_docs: DataFrame | None = None) -> DataFrame:
+    """Exact BM25 top-k in one action. ``filter_docs`` (optional DataFrame
+    with a ``doc_id`` column) restricts ranking to those documents —
+    applied BEFORE top-k selection (see ``_apply_doc_filter``), so the
+    result is the true top-k of the filtered corpus, scored identically
+    to the unfiltered path."""
     qtf = _qtf(query)
     if not qtf:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -263,15 +307,17 @@ def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query: str,
     blocks = _query_blocks(spark, index, sorted(qtf))
     joined = blocks.join(F.broadcast(w), "term")
     acc = _mk_decode_acc(spark, stats)
-    return _topk(_score_weighted_blocks(joined, index, with_query_id=False,
-                                        acc_blocks=acc),
+    partials = _score_weighted_blocks(joined, index, with_query_id=False,
+                                      acc_blocks=acc)
+    return _topk(_apply_doc_filter(partials, filter_docs),
                  tokenize_k2_py(query), k)
 
 
 def _served_local_topk(token_seqs: list[list[str]], idf_map: dict,
                        k1: float, b: float, avgdl: float, k: int,
                        block_skip: bool, with_query_id: bool,
-                       acc_decoded=None, acc_total=None):
+                       acc_decoded=None, acc_total=None,
+                       allowed=None):
     """Shared per-shard kernel for the served paths, WITH block-max
     skipping: before decoding anything, every block row's idf-free unit
     upper bound is computed from the resident (max_tf, min_dl) metadata
@@ -294,7 +340,19 @@ def _served_local_topk(token_seqs: list[list[str]], idf_map: dict,
 
     ``acc_decoded``/``acc_total`` are optional Spark accumulators
     counting decoded vs resident block rows (task retries may
-    double-count; observability only, not part of any result)."""
+    double-count; observability only, not part of any result).
+
+    ``allowed`` (optional SORTED unique int64 numpy array): FILTERED
+    retrieval — only these doc_ids may enter the local top-k. The mask is
+    applied to each range's scored docs BEFORE the running top-k/θ
+    update, so θ is the k-th best FILTERED score and the result is the
+    true top-k of the filtered corpus. Block-max skipping stays rank-safe
+    under the mask: a range bound is an upper bound over ALL its docs,
+    hence also over the allowed subset — skipping only gets more eager,
+    never wrong. Ships to executors via closure capture (same Spark
+    broadcast mechanics as the idf map); callers cap its size
+    (``_collect_filter_ids``) and fall back to the join-based exact path
+    beyond the cap."""
 
     def local_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -382,6 +440,12 @@ def _served_local_topk(token_seqs: list[list[str]], idf_map: dict,
                     for i in by_range_term.get((rid, tok), ()):
                         d, s = decoded[i]
                         totals[np.searchsorted(uniq, d)] += s
+                if allowed is not None:
+                    pos = np.searchsorted(allowed, uniq)
+                    pos[pos >= len(allowed)] = 0
+                    keep = (allowed[pos] == uniq) if len(allowed) \
+                        else np.zeros(len(uniq), dtype=bool)
+                    uniq, totals = uniq[keep], totals[keep]
                 # each doc lives in exactly one range → concat never
                 # duplicates; keep only the running local top-k
                 run_d = np.concatenate([run_d, uniq])
@@ -403,7 +467,9 @@ def _served_local_topk(token_seqs: list[list[str]], idf_map: dict,
 
 def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
                      k: int = 10, block_skip: bool = True,
-                     stats: dict | None = None) -> DataFrame:
+                     stats: dict | None = None,
+                     filter_docs: DataFrame | None = None,
+                     filter_broadcast_max: int = 5_000_000) -> DataFrame:
     """Low-latency exact BM25 top-k over the warm DOC-SHARDED serving
     layout (``InvertedIndex.warm``): postings are resident in executor
     memory re-sharded by ``range_id``, so every document's complete
@@ -424,9 +490,25 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
     ``block_skip`` enables per-shard block-max skipping (default on; see
     ``_served_local_topk`` — bitwise-identical either way). Pass a dict
     as ``stats`` to receive ``decoded_blocks``/``total_blocks``
-    accumulators, readable after the action completes."""
+    accumulators, readable after the action completes.
+
+    ``filter_docs`` (optional DataFrame with a ``doc_id`` column):
+    FILTERED retrieval — rank only those documents, applied before top-k
+    (bitwise-identical scores to ``bm25_topk_exact(filter_docs=...)``,
+    gated in tests/test_filtered.py). While the filter survivor set is
+    driver-sized (≤ ``filter_broadcast_max``) it ships to the shards as a
+    sorted id mask and serving stays zero-shuffle; a larger survivor set
+    falls back to the exact path's semi-join — the honest cost of a
+    non-selective filter at scale."""
     idf = query_term_idf(spark, index, query)
     if not idf:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    allowed, too_big = _collect_filter_ids(filter_docs,
+                                           filter_broadcast_max)
+    if too_big:
+        return bm25_topk_exact(spark, index, query, k=k, stats=stats,
+                               filter_docs=filter_docs)
+    if allowed is not None and not len(allowed):
         return spark.createDataFrame([], RESULT_SCHEMA)
     acc_d = acc_t = None
     if stats is not None:
@@ -437,7 +519,7 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
     kernel = _served_local_topk(
         [tokenize_k2_py(query)], idf, index.cfg.bm25.k1, index.cfg.bm25.b,
         index.avgdl, k, block_skip, with_query_id=False,
-        acc_decoded=acc_d, acc_total=acc_t)
+        acc_decoded=acc_d, acc_total=acc_t, allowed=allowed)
     blocks = index.serving_df(spark).filter(
         F.col("term").isin(sorted(idf)))
     local = blocks.mapInPandas(kernel, schema=RESULT_SCHEMA)
@@ -448,6 +530,7 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
         cold = _cold_scores_batch(spark, index, idf,
                                   [tokenize_k2_py(query)], wr) \
             .drop("query_id")
+        cold = _apply_doc_filter(cold, filter_docs)
         local = local.unionByName(cold)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -455,7 +538,10 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
 def bm25_topk_served_batch(spark: SparkSession, index: InvertedIndex,
                            queries: list[str], k: int = 10,
                            block_skip: bool = True,
-                           stats: dict | None = None) -> DataFrame:
+                           stats: dict | None = None,
+                           filter_docs: DataFrame | None = None,
+                           filter_broadcast_max: int = 5_000_000
+                           ) -> DataFrame:
     """Batch form of ``bm25_topk_served``: ALL queries answered in ONE map
     stage over the warm doc-sharded serving layout, instead of one Spark
     action per query (at toy scale each action costs ~0.3s of pure
@@ -469,7 +555,12 @@ def bm25_topk_served_batch(spark: SparkSession, index: InvertedIndex,
     (score desc, doc_id asc) total order — gated by
     tests/test_wand.py::test_served_batch_topk_equals_per_query).
 
-    Returns (query_id, doc_id, score), k rows per non-empty query."""
+    Returns (query_id, doc_id, score), k rows per non-empty query.
+
+    ``filter_docs``/``filter_broadcast_max``: filtered retrieval, same
+    contract as ``bm25_topk_served`` (sorted-id mask in the kernel while
+    driver-sized; semi-join fallback via the cold exact path beyond the
+    cap; applied before top-k either way)."""
     idf_map = {}
     token_seqs = []
     for q in queries:
@@ -479,6 +570,24 @@ def bm25_topk_served_batch(spark: SparkSession, index: InvertedIndex,
     known = sorted(idf_map)
     if not known:
         return spark.createDataFrame([], "query_id int, " + RESULT_SCHEMA)
+    allowed, too_big = _collect_filter_ids(filter_docs,
+                                           filter_broadcast_max)
+    if allowed is not None and not len(allowed):
+        return spark.createDataFrame([], "query_id int, " + RESULT_SCHEMA)
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    if too_big:
+        # non-selective filter: exact per-(query, doc) scores over the
+        # on-disk blocks (warm_ranges=∅ ⇒ all ranges), semi-joined with
+        # the filter, then the same per-query window top-k
+        scores = _apply_doc_filter(
+            _cold_scores_batch(spark, index, idf_map, token_seqs,
+                               frozenset()),
+            filter_docs)
+        return (scores.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") <= k).drop("__r")
+                .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
     acc_d = acc_t = None
     if stats is not None:
         acc_d = spark.sparkContext.accumulator(0)
@@ -488,17 +597,15 @@ def bm25_topk_served_batch(spark: SparkSession, index: InvertedIndex,
     kernel = _served_local_topk(
         token_seqs, idf_map, index.cfg.bm25.k1, index.cfg.bm25.b,
         index.avgdl, k, block_skip, with_query_id=True,
-        acc_decoded=acc_d, acc_total=acc_t)
+        acc_decoded=acc_d, acc_total=acc_t, allowed=allowed)
     blocks = index.serving_df(spark).filter(F.col("term").isin(known))
     local = blocks.mapInPandas(kernel,
                                schema="query_id int, " + RESULT_SCHEMA)
     wr = index.warm_ranges()
     if wr is not None:
-        local = local.unionByName(
-            _cold_scores_batch(spark, index, idf_map, token_seqs, wr))
-    from pyspark.sql import Window
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
-                                               F.asc("doc_id"))
+        local = local.unionByName(_apply_doc_filter(
+            _cold_scores_batch(spark, index, idf_map, token_seqs, wr),
+            filter_docs))
     return (local.withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= k).drop("__r")
             .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
