@@ -124,6 +124,27 @@ def q_ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
+PHRASE_QUERY = "part filter"
+_POSITIONS_BUILT: set[str] = set()
+
+
+def q_ft_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE query over the positional postings table
+    (index/positions.py): documents containing the exact consecutive
+    K1-token sequence, with occurrence counts — the classic
+    positional-index capability. The positions table is built once per
+    sf_dir from the index's Stage A checkpoint (no re-tokenize); the
+    DuckDB oracle recomputes the counts via token shingles."""
+    from review_recommender_spark.index.positions import (build_positions,
+                                                          phrase_match)
+    idx = _doc_index(spark, sf_dir)
+    if sf_dir not in _POSITIONS_BUILT:
+        build_positions(spark, idx.io, idx.cfg)
+        _POSITIONS_BUILT.add(sf_dir)
+    return (phrase_match(spark, idx, PHRASE_QUERY, k=100)
+            .orderBy(F.desc("n_occ"), F.asc("doc_id")))
+
+
 def q_ft_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED retrieval (exact path): true BM25 top-k of the lang='en'
     slice of the corpus — the predicate is applied BEFORE top-k via a
@@ -684,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk_served": q_ft_bm25_topk_served,
         "ft_bm25_topk_filtered": q_ft_bm25_topk_filtered,
         "ft_bm25_topk_filtered_served": q_ft_bm25_topk_filtered_served,
+        "ft_phrase_match": q_ft_phrase_match,
         "tpch_q1": q_tpch_q1,
         "top3_lineitems": q_top3_lineitems,
         "customer_order_totals": q_customer_order_totals,
@@ -767,6 +789,28 @@ scores AS (
   GROUP BY tfc.doc_id)
 SELECT doc_id, round(s, 4) AS score FROM scores {flt}
 ORDER BY s DESC, doc_id LIMIT {k}"""
+
+
+def _phrase_sql(phrase: str, k: int) -> str:
+    """SQL twin of ``index.positions.phrase_match``: K1-tokenize every doc
+    (same chain as the engine's Stage A), slide an n-gram window, count
+    exact consecutive matches per doc. Same (n_occ desc, doc_id asc)
+    order, same LIMIT."""
+    from review_recommender_spark.functions.tokenize import tokenize_k1_py
+    ptoks = tokenize_k1_py(phrase)
+    n = len(ptoks)
+    lit = " ".join(ptoks).replace("'", "''")
+    return f"""
+WITH toks AS (SELECT doc_id, {K1SQL} AS toks FROM documents),
+grams AS (SELECT doc_id,
+                 unnest(list_transform(
+                     generate_series(1, greatest(len(toks) - {n - 1}, 0)),
+                     i -> array_to_string(list_slice(toks, i, i + {n - 1}),
+                                          ' '))) AS gram
+          FROM toks)
+SELECT doc_id, count(*)::BIGINT AS n_occ FROM grams
+WHERE gram = '{lit}'
+GROUP BY doc_id ORDER BY n_occ DESC, doc_id LIMIT {k}"""
 
 
 _LANG_HITS = {
@@ -1001,6 +1045,7 @@ WHERE term IN ({', '.join(repr(t) for t in PROBE_TERMS)})""",
         "ft_bm25_topk": _bm25_sql(BM25_QUERY, 1.2, 0.75, BM25_K),
         "ft_bm25_topk_filtered": _bm25_sql(BM25_QUERY, 1.2, 0.75, BM25_K,
                                            doc_where="lang = 'en'"),
+        "ft_phrase_match": _phrase_sql(PHRASE_QUERY, 100),
         "ft_bm25_topk_filtered_served": _bm25_sql(
             BM25_QUERY, 1.2, 0.75, BM25_K, doc_where="lang = 'en'"),
         "ft_bm25_topk_served": " UNION ALL ".join(

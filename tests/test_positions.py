@@ -1,0 +1,194 @@
+"""Positional postings + phrase matching (index/positions.py).
+
+Ground truth throughout is the frozen Python K1 tokenizer: positions are
+0-based offsets into the K1-filtered token stream, recomputed on the
+driver per doc and compared against the distributed build/match."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from review_recommender_spark.functions.tokenize import tokenize_k1_py
+from review_recommender_spark.index.positions import (POSITIONS,
+                                                      build_positions,
+                                                      decode_pos_block,
+                                                      encode_pos_blocks_bulk,
+                                                      phrase_match)
+
+
+def _truth_positions(texts: dict[int, str]) -> dict[tuple[int, str], list]:
+    out: dict[tuple[int, str], list] = {}
+    for doc_id, text in texts.items():
+        for i, t in enumerate(tokenize_k1_py(text)):
+            out.setdefault((doc_id, t), []).append(i)
+    return out
+
+
+def _truth_phrase(texts: dict[int, str], phrase: str) -> dict[int, int]:
+    ptoks = tokenize_k1_py(phrase)
+    out: dict[int, int] = {}
+    for doc_id, text in texts.items():
+        toks = tokenize_k1_py(text)
+        n = sum(1 for i in range(len(toks) - len(ptoks) + 1)
+                if toks[i:i + len(ptoks)] == ptoks)
+        if n:
+            out[doc_id] = n
+    return out
+
+
+def test_pos_codec_roundtrip():
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(1, 400))
+        docs = np.cumsum(rng.integers(1, 1000, n)).astype(np.int64)
+        counts = rng.integers(1, 30, n).astype(np.int64)
+        pos = np.concatenate([
+            np.sort(rng.choice(5000, int(c), replace=False))
+            for c in counts]).astype(np.int64)
+        bs = np.unique(np.concatenate(
+            [[0], rng.integers(0, n, max(n // 50, 1))])).astype(np.int64)
+        db, cb, pb = encode_pos_blocks_bulk(docs, counts, pos, bs)
+        be = np.append(bs[1:], n)
+        flat = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=flat[1:])
+        for bi, (a, b) in enumerate(zip(bs, be)):
+            d, c, p = decode_pos_block(db[bi], cb[bi], pb[bi], int(b - a))
+            np.testing.assert_array_equal(d, docs[a:b])
+            np.testing.assert_array_equal(c, counts[a:b])
+            np.testing.assert_array_equal(p, pos[flat[a]:flat[b]])
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, small_pages, small_index):
+    """positions table built over the session-scoped small index root."""
+    build_positions(spark, small_index.io, small_index.cfg)
+    return small_index
+
+
+@pytest.fixture(scope="module")
+def page_texts(small_pages_pdf):
+    return dict(zip(small_pages_pdf["doc_id"], small_pages_pdf["text"]))
+
+
+def test_positions_match_python_tokenizer(spark, pos_index, page_texts):
+    """Decode EVERY (term, doc) position list for a few probe terms and
+    compare with driver-side retokenization."""
+    truth = _truth_positions(page_texts)
+    probe = ["wireless", "headphones", "cat"]
+    rows = (pos_index.io.read(spark, POSITIONS)
+            .filter(F.col("term").isin(probe)).collect())
+    got: dict[tuple[int, str], list] = {}
+    for r in rows:
+        docs, counts, pos = decode_pos_block(
+            bytes(r["doc_bytes"]), bytes(r["cnt_bytes"]),
+            bytes(r["pos_bytes"]), int(r["n"]))
+        flat = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=flat[1:])
+        for i, d in enumerate(docs):
+            key = (int(d), r["term"])
+            assert key not in got, f"doc split across blocks? {key}"
+            got[key] = pos[flat[i]:flat[i + 1]].tolist()
+    want = {k: v for k, v in truth.items() if k[1] in probe}
+    assert got == want
+
+
+def test_positions_block_invariants(spark, pos_index):
+    """Docs ascending + unique within (term, range) groups; block sizes
+    capped; first/last metadata consistent; range_id = doc_id >> shift."""
+    shift = pos_index.cfg.index.range_shift
+    bsz = pos_index.cfg.index.block_size
+    rows = pos_index.io.read(spark, POSITIONS).collect()
+    seen = set()
+    for r in rows:
+        assert 0 < r["n"] <= bsz
+        docs, counts, pos = decode_pos_block(
+            bytes(r["doc_bytes"]), bytes(r["cnt_bytes"]),
+            bytes(r["pos_bytes"]), int(r["n"]))
+        assert (np.diff(docs) > 0).all()
+        assert docs[0] == r["first_doc_id"] and docs[-1] == r["last_doc_id"]
+        assert ((docs >> shift) == r["range_id"]).all()
+        assert (counts >= 1).all()
+        for d in docs:
+            key = (r["term"], int(d))
+            assert key not in seen, "doc duplicated across blocks"
+            seen.add(key)
+
+
+PHRASES = [
+    "wireless bluetooth",              # adjacent pair (occurs planted)
+    "yellow cat",                      # adjacent pair (occurs planted)
+    "wireless bluetooth headphones",   # 3-gram: never consecutive in this
+                                       # corpus → both sides must be EMPTY
+    "wireless headphones",             # gap-of-1 pair — adjacency must not
+                                       # match the wireless…bluetooth docs
+]
+
+
+@pytest.mark.parametrize("phrase", PHRASES)
+def test_phrase_match_equals_python(spark, pos_index, page_texts, phrase):
+    truth = _truth_phrase(page_texts, phrase)
+    got = {r["doc_id"]: r["n_occ"]
+           for r in phrase_match(spark, pos_index, phrase,
+                                 k=100000).collect()}
+    assert got == truth, phrase
+
+
+def test_phrase_match_order_and_k(spark, pos_index, page_texts):
+    phrase = "yellow cat"
+    truth = _truth_phrase(page_texts, phrase)
+    assert len(truth) > 3
+    rows = phrase_match(spark, pos_index, phrase, k=3).collect()
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(r["doc_id"], r["n_occ"]) for r in rows] == want
+
+
+def test_phrase_single_term_is_tf(spark, pos_index, page_texts):
+    truth = _truth_phrase(page_texts, "wireless")
+    got = {r["doc_id"]: r["n_occ"]
+           for r in phrase_match(spark, pos_index, "wireless",
+                                 k=100000).collect()}
+    assert got == truth
+
+
+def test_phrase_repeated_term(spark, pos_index, page_texts):
+    """Consecutive repetition of one token ('cat cat') — the offset-shift
+    intersection must use the SAME term's keys at both offsets."""
+    truth = _truth_phrase(page_texts, "cat cat")
+    got = {r["doc_id"]: r["n_occ"]
+           for r in phrase_match(spark, pos_index, "cat cat",
+                                 k=100000).collect()}
+    assert got == truth
+
+
+def test_phrase_unknown_or_empty(spark, pos_index):
+    assert phrase_match(spark, pos_index,
+                        "zzzqqq notaword", k=10).count() == 0
+    # all-stopword phrase → K1-tokenizes to [] → empty, no job
+    assert phrase_match(spark, pos_index, "the and of", k=10).count() == 0
+
+
+def test_phrase_filtered_bm25(spark, small_pages, pos_index, page_texts):
+    """Composition gate: phrase-FILTERED BM25 = bm25_topk_exact over the
+    phrase_match survivor set — true BM25 top-k restricted to docs
+    containing the phrase."""
+    from review_recommender_spark.query.bm25 import bm25_topk_exact
+    phrase = "wireless bluetooth"
+    truth_docs = set(_truth_phrase(page_texts, phrase))
+    assert len(truth_docs) > 3  # the phrase really occurs in this corpus
+    survivors = phrase_match(spark, pos_index, phrase, k=100000)
+    got = bm25_topk_exact(spark, pos_index, phrase, k=10,
+                          filter_docs=survivors).collect()
+    assert got and all(r["doc_id"] in truth_docs for r in got)
+    full = bm25_topk_exact(spark, pos_index, phrase, k=2000).collect()
+    want = [(r["doc_id"], r["score"]) for r in full
+            if r["doc_id"] in truth_docs][:10]
+    assert [(r["doc_id"], r["score"]) for r in got] == want
+
+
+def test_positions_build_leaves_postings_untouched(spark, pos_index):
+    """The positions build must not disturb the postings contract: the
+    POSTINGS table still exists with its snapshot lineage intact."""
+    assert pos_index.io.exists("postings")
+    assert pos_index.io.current_snapshot("postings") is not None
+    assert pos_index.io.current_snapshot(POSITIONS)["lineage"]["parent"] \
+        == pos_index.io.current_snapshot("local_tf")["snapshot_id"]
