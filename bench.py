@@ -42,7 +42,8 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
     phases = os.environ.get("SPARK_GRAFT_BENCH_PHASES",
-                            "build,bm25,hybrid,sf,bursty").split(",")
+                            "build,bm25,hybrid,sf,bursty,positions"
+                            ).split(",")
 
     from review_recommender_spark.config import EngineConfig, bm25_north
     from review_recommender_spark.corpus.pages import (CORPUS_FORMAT_VERSION,
@@ -375,6 +376,50 @@ def main() -> None:
                 float(np.percentile(p_lat, 50)), 3)
             bidx.unwarm()
             spark.catalog.clearCache()
+
+        if "positions" in phases and idx is not None:
+            # positional-postings build over the SAME index root (reads
+            # the Stage A checkpoint — no re-tokenize) + phrase-query
+            # latency. Phrases are the planted two-word prefixes of the
+            # golden queries, so each occurs consecutively in the corpus.
+            from review_recommender_spark.index.positions import (
+                POSITIONS, build_positions, phrase_match)
+            if idx.is_warm():
+                idx.unwarm()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            build_positions(spark, idx.io, cfg,
+                            shuffle_partitions=max(32, cpus * 2))
+            dt = time.perf_counter() - t0
+            timings["positions_build"] = round(dt, 3)
+            extra["positions_docs_per_sec"] = round(n_docs / dt, 1)
+
+            def _du2(path: str) -> int:
+                total = 0
+                for root, _dirs, files in os.walk(path):
+                    total += sum(os.path.getsize(os.path.join(root, f))
+                                 for f in files if not f.startswith("_"))
+                return total
+
+            pos_b = _du2(idx.io.path(POSITIONS))
+            # total position entries = total kept tokens (corpus_stats)
+            from review_recommender_spark.index.build import CORPUS_STATS
+            tot_tokens = idx.io.read(spark, CORPUS_STATS) \
+                .collect()[0]["total_tokens"]
+            extra["positions_bytes"] = pos_b
+            extra["bytes_per_position"] = round(
+                pos_b / max(tot_tokens, 1), 3)
+            phrases = [" ".join(p.split()[:2]) for p in GOLDEN_PHRASES[:5]]
+            phrase_match(spark, idx, phrases[0], k=10).collect()  # JIT
+            lat = []
+            n_hits = 0
+            for q in phrases:
+                t0 = time.perf_counter()
+                n_hits += len(phrase_match(spark, idx, q, k=10).collect())
+                lat.append(time.perf_counter() - t0)
+            extra["phrase_p50_sec"] = round(
+                float(np.percentile(lat, 50)), 3)
+            extra["phrase_hits"] = n_hits
 
         if "sf" in phases and os.path.isdir(sf_dir):
             # phase isolation: drop the 120k warm serving state + any

@@ -63,6 +63,24 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated doc_ids to tombstone")
     d.add_argument("--cores", type=int, default=None)
 
+    bp = sub.add_parser("build-positions",
+                        help="add the optional positional-postings table "
+                             "to an existing index root (reads the Stage "
+                             "A checkpoint; no re-tokenize)")
+    bp.add_argument("--index", required=True)
+    bp.add_argument("--cores", type=int, default=None)
+
+    ph = sub.add_parser("phrase", help="exact consecutive-token phrase "
+                                       "query over the positions table")
+    ph.add_argument("--index", required=True)
+    ph.add_argument("-q", "--query", required=True)
+    ph.add_argument("-k", type=int, default=10)
+    ph.add_argument("--rank-bm25", action="store_true",
+                    help="rank phrase-matching docs by BM25 of the phrase "
+                         "terms (composition with filtered retrieval) "
+                         "instead of by occurrence count")
+    ph.add_argument("--cores", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     from .config import EngineConfig, app_profile, bm25_north, cli_profile
@@ -93,6 +111,29 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     idx = InvertedIndex.load(spark, TableIO(args.index), cfg)
+
+    if args.cmd == "build-positions":
+        from .index.positions import POSITIONS, build_positions
+        build_positions(spark, idx.io, cfg)
+        n_blocks = idx.io.read(spark, POSITIONS).count()
+        print(json.dumps({"n_docs": idx.n_docs, "pos_blocks": int(n_blocks)}))
+        return 0
+
+    if args.cmd == "phrase":
+        from .index.positions import phrase_match
+        matches = phrase_match(spark, idx, args.query, k=max(args.k, 10000)
+                               if args.rank_bm25 else args.k)
+        if args.rank_bm25:
+            from .query.bm25 import bm25_topk_exact
+            rows = bm25_topk_exact(spark, idx, args.query, k=args.k,
+                                   filter_docs=matches).collect()
+            out = [{"doc_id": r["doc_id"], "score": round(r["score"], 4)}
+                   for r in rows]
+        else:
+            out = [{"doc_id": r["doc_id"], "n_occ": int(r["n_occ"])}
+                   for r in matches.collect()]
+        print(json.dumps({"query": args.query, "results": out}))
+        return 0
 
     if args.cmd == "delta-merge":
         from .index.build import delta_merge_index

