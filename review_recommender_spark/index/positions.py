@@ -392,6 +392,10 @@ def phrase_match(spark: SparkSession, index: InvertedIndex, phrase: str,
         uniq, n_occ = np.unique(docs, return_counts=True)
         yield pd.DataFrame({"doc_id": uniq, "n_occ": n_occ})
 
-    local = (blocks.repartition("range_id")
+    # column-prune before the exchange: the kernel needs 5 columns + the
+    # shuffle key — block_id/first/last_doc_id stay unread in the scan
+    local = (blocks.select("term", "range_id", "n", "doc_bytes",
+                           "cnt_bytes", "pos_bytes")
+             .repartition("range_id")
              .mapInPandas(match, schema=out_schema))
     return local.orderBy(F.desc("n_occ"), F.asc("doc_id")).limit(k)

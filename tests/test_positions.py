@@ -185,6 +185,28 @@ def test_phrase_filtered_bm25(spark, small_pages, pos_index, page_texts):
     assert [(r["doc_id"], r["score"]) for r in got] == want
 
 
+def test_phrase_scan_pruned_and_column_clean(spark, pos_index):
+    """Plan gate: the positions scan under phrase_match must prune
+    directories by term_bucket, push the term filter into parquet, read
+    only the kernel's columns (no block_id/first/last_doc_id), and carry
+    exactly ONE exchange (the range_id repartition)."""
+    import re
+    spark.catalog.clearCache()
+    df = phrase_match(spark, pos_index, "wireless bluetooth", k=10)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "term_bucket" in m.group(1), plan
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "term" in pushed.group(1), plan
+    rs = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert rs and "first_doc_id" not in rs.group(1) \
+        and "block_id" not in rs.group(1), plan
+    # one data exchange keyed by range_id (+ the final top-k single
+    # partition exchange belongs to orderBy/limit)
+    assert plan.count("hashpartitioning(range_id") == 1, plan
+
+
 def test_positions_build_leaves_postings_untouched(spark, pos_index):
     """The positions build must not disturb the postings contract: the
     POSTINGS table still exists with its snapshot lineage intact."""
