@@ -900,7 +900,8 @@ def delta_merge_index(spark: SparkSession, main: InvertedIndex,
                       assert_new_docs: bool = True,
                       mode: str = "insert",
                       delete_doc_ids=None,
-                      keep_staging: bool = False) -> InvertedIndex:
+                      keep_staging: bool = False,
+                      positions: bool | str = "auto") -> InvertedIndex:
     """Incremental index maintenance: merge an epoch of NEW documents
     (e.g. the staging table ``streaming.ingest.stage_for_indexing``
     appends to — the Spark-native analogue of the reference's resume
@@ -959,7 +960,17 @@ def delta_merge_index(spark: SparkSession, main: InvertedIndex,
 
     ``keep_staging``: the DELTA_LOCAL_TF / DELTA_PARTIALS staging tables
     are dropped after the merged POSTINGS commit (they are not part of
-    the index table contract); pass True to keep them for debugging."""
+    the index table contract); pass True to keep them for debugging.
+
+    ``positions``: incremental maintenance of the OPTIONAL positional
+    table (index/positions.py). ``"auto"`` (default) merges it when the
+    main root has one; ``True`` requires it; ``False`` skips. The merge
+    mirrors the postings path exactly — delta-only posexplode + packed
+    partials, touched groups (delta keys ∪ purge-covering block
+    intervals) decoded with the purge applied, shuffle-side re-encode,
+    untouched blocks passed through — and is byte-identical to
+    ``build_positions`` over the merged corpus
+    (tests/test_positions.py::test_delta_merge_positions_byte_identical)."""
     import numpy as np
 
     if mode not in ("insert", "upsert"):
@@ -1109,6 +1120,80 @@ def delta_merge_index(spark: SparkSession, main: InvertedIndex,
                           "purged": int(len(purge_ids)),
                           "shuffle_partitions": shuffle_partitions},
                  metrics={})
+
+    # ---- optional: merge the positional table the same way ----
+    from .positions import POSITIONS as POS_TABLE
+    if positions == "auto":
+        do_pos = main.io.exists(POS_TABLE)
+    elif positions:
+        if not main.io.exists(POS_TABLE):
+            raise FileNotFoundError(
+                f"delta_merge_index(positions=True): main root has no "
+                f"{POS_TABLE} table; run build_positions first")
+        do_pos = True
+    else:
+        do_pos = False
+    if do_pos:
+        from .positions import (POS_BLOCK_SCHEMA, POS_PARTIAL_SCHEMA,
+                                _merge_encode_pos_partials,
+                                _pack_pos_partials,
+                                _pos_blocks_to_partials)
+        parent_pos = main.io.current_snapshot(POS_TABLE) or {}
+        occ = (dtf.select(
+            "doc_id", F.posexplode("toks").alias("pos", "term"))
+            .withColumn("range_id",
+                        F.shiftright(F.col("doc_id"),
+                                     cfg.index.range_shift)))
+        d_pos = occ.mapInPandas(_pack_pos_partials(),
+                                schema=POS_PARTIAL_SCHEMA)
+        mpos = main.io.read(spark, POS_TABLE)
+        # touched keys: the delta's (term, range) groups are identical to
+        # the postings merge's (same occurrence rows); the purge cover is
+        # recomputed against THIS table's block intervals (block sizing
+        # differs between the two tables)
+        touched_pos = dp.select("term", "range_id")
+        if len(purge_ids):
+            prp = spark.createDataFrame(
+                [(int(x), int(x) >> cfg.index.range_shift)
+                 for x in purge_ids],
+                "p_doc long, p_range long")
+            touched_pos = touched_pos.unionByName(
+                mpos.join(F.broadcast(prp),
+                          (F.col("range_id") == F.col("p_range"))
+                          & (F.col("p_doc") >= F.col("first_doc_id"))
+                          & (F.col("p_doc") <= F.col("last_doc_id")),
+                          "left_semi").select("term", "range_id"))
+        touched_pos_b = F.broadcast(touched_pos.distinct())
+        unt_pos = mpos.join(touched_pos_b, ["term", "range_id"],
+                            "left_anti")
+        m_parts = (mpos.join(touched_pos_b, ["term", "range_id"],
+                             "left_semi")
+                   .select("term", "range_id", "n", "doc_bytes",
+                           "cnt_bytes", "pos_bytes")
+                   .mapInPandas(
+                       _pos_blocks_to_partials(
+                           purge_ids if len(purge_ids) else None),
+                       schema=POS_PARTIAL_SCHEMA))
+        merged_pos = (m_parts.unionByName(d_pos)
+                      .repartition(shuffle_partitions, "term", "range_id")
+                      .sortWithinPartitions("term", "range_id")
+                      .mapInPandas(
+                          _merge_encode_pos_partials(cfg.index.block_size),
+                          schema=POS_BLOCK_SCHEMA))
+        pos_cols = [c.split(" ")[0] for c in POS_BLOCK_SCHEMA.split(", ")]
+        new_pos = (unt_pos.select(*pos_cols)
+                   .unionByName(merged_pos)
+                   .withColumn("term_bucket",
+                               term_bucket_col(F.col("term"),
+                                               cfg.index.term_buckets))
+                   .repartition(cfg.index.term_buckets, "term_bucket"))
+        out_io.write(new_pos, POS_TABLE, partition_by=["term_bucket"],
+                     lineage={"parent": parent_pos.get("snapshot_id"),
+                              "mode": "delta_merge",
+                              "purged": int(len(purge_ids)),
+                              "shuffle_partitions": shuffle_partitions},
+                     metrics={})
+
     if not keep_staging:
         out_io.drop(DELTA_LOCAL_TF)
         out_io.drop(DELTA_PARTIALS)

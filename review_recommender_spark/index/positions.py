@@ -138,6 +138,81 @@ def decode_pos_block(doc_bytes: bytes, cnt_bytes: bytes, pos_bytes: bytes,
     return docs, counts, c - base
 
 
+def _pos_blocks_to_partials(purge_ids=None):
+    """Inverse of the positions encode for merge purposes: decode
+    persisted position-block rows back into ``POS_PARTIAL_SCHEMA`` rows
+    (one partial per block — the merge kernel accepts any granularity).
+    BULK-vectorized with the same chunked one-varint-pass-per-column
+    pattern as ``build._blocks_to_partials`` (chunks sized to stay in
+    cache-hot pages); ``purge_ids`` (sorted int64) drops those docs'
+    positions during the decode — the delete/upsert half of incremental
+    positions maintenance."""
+    purge = (np.asarray(purge_ids, dtype=np.int64)
+             if purge_ids is not None else None)
+    chunk_rows = 2048
+
+    def unpack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for big in it:
+            for lo in range(0, len(big), chunk_rows):
+                out = _unpack_chunk(big.iloc[lo:lo + chunk_rows])
+                if out is not None:
+                    yield out
+
+    def _unpack_chunk(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        if not len(pdf):
+            return None
+        ns = pdf["n"].to_numpy(dtype=np.int64)           # docs per block
+        total = int(ns.sum())
+        deltas = varint_decode(
+            b"".join(pdf["doc_bytes"]), total).astype(np.int64)
+        bstarts0 = np.concatenate([[0], np.cumsum(ns)[:-1]])
+        c = np.cumsum(deltas)
+        base = np.zeros(len(ns), dtype=np.int64)
+        base[1:] = c[bstarts0[1:] - 1]
+        docs = c - np.repeat(base, ns)
+        counts = varint_decode(
+            b"".join(pdf["cnt_bytes"]), total).astype(np.int64)
+        totpos = int(counts.sum())
+        pdeltas = varint_decode(
+            b"".join(pdf["pos_bytes"]), totpos).astype(np.int64)
+        # positions: grouped cumsum resetting at each DOC start
+        dstarts = np.zeros(total, dtype=np.int64)
+        np.cumsum(counts[:-1], out=dstarts[1:])
+        pc = np.cumsum(pdeltas)
+        pbase = np.zeros(totpos, dtype=np.int64)
+        s = dstarts[counts > 0]
+        pbase[s] = pc[s] - pdeltas[s]
+        np.maximum.accumulate(pbase, out=pbase)
+        pos = (pc - pbase).astype(np.int32)
+        if purge is not None and len(purge):
+            keep_doc = ~np.isin(docs, purge)
+            pos = pos[np.repeat(keep_doc, counts)]
+            gid = np.repeat(np.arange(len(ns)), ns)
+            ns = np.bincount(gid[keep_doc], minlength=len(ns)) \
+                .astype(np.int64)
+            docs, counts = docs[keep_doc], counts[keep_doc]
+        ends = np.cumsum(ns)
+        bstarts = ends - ns
+        fcum = np.zeros(len(docs) + 1, dtype=np.int64)
+        np.cumsum(counts, out=fcum[1:])
+        sel = np.flatnonzero(ns > 0)
+        if not len(sel):
+            return None
+        counts32 = counts.astype(np.int32)
+        return pd.DataFrame({
+            "term": pdf["term"].to_numpy()[sel],
+            "range_id": pdf["range_id"].to_numpy()[sel],
+            "n": ns[sel].astype(np.int32),
+            "doc_arr": [docs[bstarts[i]:ends[i]].tobytes() for i in sel],
+            "cnt_arr": [counts32[bstarts[i]:ends[i]].tobytes()
+                        for i in sel],
+            "pos_arr": [pos[fcum[bstarts[i]]:fcum[ends[i]]].tobytes()
+                        for i in sel],
+        })
+
+    return unpack
+
+
 # --------------------------------------------------------------- build
 
 def _pack_pos_partials(chunk_rows: int = 2_000_000):

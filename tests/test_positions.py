@@ -207,6 +207,105 @@ def test_phrase_scan_pruned_and_column_clean(spark, pos_index):
     assert plan.count("hashpartitioning(range_id") == 1, plan
 
 
+def test_delta_merge_positions_byte_identical(spark, tmp_path):
+    """delta_merge_index(positions='auto') must maintain the positional
+    table incrementally — upsert (re-crawled text, positions shifted by a
+    prepend) + tombstones + new docs — BYTE-identical to build_positions
+    over a from-scratch index of the merged corpus."""
+    import dataclasses
+
+    import pandas as pd
+
+    from review_recommender_spark.config import EngineConfig, bm25_north
+    from review_recommender_spark.corpus.pages import (PAGES_SCHEMA,
+                                                       pages_pdf)
+    from review_recommender_spark.index.build import (build_index,
+                                                      delta_merge_index)
+    from review_recommender_spark.index.tableio import TableIO
+
+    cfg = EngineConfig(bm25=bm25_north())
+    cfg = dataclasses.replace(
+        cfg, index=dataclasses.replace(cfg.index, range_shift=6,
+                                       term_buckets=8))
+    main_pdf = pages_pdf(np.arange(400))
+    up = pages_pdf(np.arange(5))
+    up["text"] = "wireless bluetooth recrawl " + up["text"]  # shift ALL pos
+    new = pages_pdf(np.arange(400, 440))
+    delta_pdf = pd.concat([up, new], ignore_index=True)
+    deletes = [10, 11, 200]
+
+    main_df = spark.createDataFrame(main_pdf, schema=PAGES_SCHEMA) \
+        .repartition(4)
+    delta_df = spark.createDataFrame(delta_pdf, schema=PAGES_SCHEMA) \
+        .repartition(2)
+    io_main = TableIO(str(tmp_path / "pmain"))
+    idx_main = build_index(spark, main_df, io_main, cfg)
+    build_positions(spark, io_main, cfg)
+
+    out_io = TableIO(str(tmp_path / "pmerged"))
+    merged = delta_merge_index(spark, idx_main, delta_df, out_io,
+                               mode="upsert", delete_doc_ids=deletes)
+    assert out_io.exists(POSITIONS)
+
+    gone = set(deletes) | set(range(5))
+    scratch_pdf = pd.concat(
+        [main_pdf[~main_pdf["doc_id"].isin(gone)], delta_pdf],
+        ignore_index=True)
+    io_s = TableIO(str(tmp_path / "pscratch"))
+    build_index(spark,
+                spark.createDataFrame(scratch_pdf, schema=PAGES_SCHEMA)
+                .repartition(4), io_s, cfg)
+    build_positions(spark, io_s, cfg)
+
+    def rows(io):
+        return sorted(
+            (r["term"], r["range_id"], r["block_id"], r["n"],
+             r["first_doc_id"], r["last_doc_id"], bytes(r["doc_bytes"]),
+             bytes(r["cnt_bytes"]), bytes(r["pos_bytes"]))
+            for r in io.read(spark, POSITIONS).collect())
+
+    assert rows(out_io) == rows(io_s)
+
+    # behavioral spot-check: the recrawl phrase matches the 5 upserts
+    got = {r["doc_id"] for r in
+           phrase_match(spark, merged, "wireless bluetooth recrawl",
+                        k=1000).collect()}
+    assert set(range(5)) <= got
+    # tombstoned docs never match anything
+    assert not (got & set(deletes))
+
+
+def test_delta_merge_positions_flag_validation(spark, tmp_path):
+    """positions=True without a positions table must raise; False skips
+    the merge even when the table exists."""
+    import dataclasses
+
+    from review_recommender_spark.config import EngineConfig, bm25_north
+    from review_recommender_spark.corpus.pages import (PAGES_SCHEMA,
+                                                       pages_pdf)
+    from review_recommender_spark.index.build import (build_index,
+                                                      delta_merge_index)
+    from review_recommender_spark.index.tableio import TableIO
+
+    cfg = EngineConfig(bm25=bm25_north())
+    cfg = dataclasses.replace(
+        cfg, index=dataclasses.replace(cfg.index, range_shift=6,
+                                       term_buckets=8))
+    main_df = spark.createDataFrame(pages_pdf(np.arange(100)),
+                                    schema=PAGES_SCHEMA)
+    delta_df = spark.createDataFrame(pages_pdf(np.arange(100, 120)),
+                                     schema=PAGES_SCHEMA)
+    io_main = TableIO(str(tmp_path / "vmain"))
+    idx_main = build_index(spark, main_df, io_main, cfg)
+    with pytest.raises(FileNotFoundError):
+        delta_merge_index(spark, idx_main, delta_df,
+                          TableIO(str(tmp_path / "vout1")), positions=True)
+    build_positions(spark, io_main, cfg)
+    out2 = TableIO(str(tmp_path / "vout2"))
+    delta_merge_index(spark, idx_main, delta_df, out2, positions=False)
+    assert not out2.exists(POSITIONS)
+
+
 def test_positions_build_leaves_postings_untouched(spark, pos_index):
     """The positions build must not disturb the postings contract: the
     POSTINGS table still exists with its snapshot lineage intact."""
