@@ -284,11 +284,14 @@ def _collect_filter_ids(filter_docs: DataFrame | None, cap: int):
     if filter_docs is None:
         return None, False
     import numpy as np
-    rows = (filter_docs.select("doc_id").distinct()
-            .limit(cap + 1).collect())
-    if len(rows) > cap:
+    # Arrow toPandas, not collect(): at the default cap (5M ids) Row
+    # objects would cost ~GBs of driver heap; the Arrow path lands the
+    # column as one int64 block (~40 MB)
+    pdf = (filter_docs.select("doc_id").distinct()
+           .limit(cap + 1).toPandas())
+    if len(pdf) > cap:
         return None, True          # too big to broadcast — fall back
-    ids = np.array(sorted(r["doc_id"] for r in rows), dtype=np.int64)
+    ids = np.sort(pdf["doc_id"].to_numpy(dtype=np.int64))
     return ids, False
 
 
