@@ -378,6 +378,11 @@ def build_positions(spark: SparkSession, io: TableIO,
     interaction with the postings tables (byte-identity of POSTINGS is
     untouched — gated in tests/test_positions.py)."""
     cfg = cfg or EngineConfig()
+    if cfg.index.token_cap > int(_POS_MULT):
+        raise ValueError(
+            f"build_positions: token_cap {cfg.index.token_cap} exceeds "
+            f"the phrase kernel's position radix {int(_POS_MULT)} — "
+            f"raise _POS_MULT (doc ids then bound at 2^63/radix)")
     if not io.exists(LOCAL_TF):
         raise FileNotFoundError(
             f"positions build needs the {LOCAL_TF} checkpoint under "
@@ -430,6 +435,10 @@ def phrase_match(spark: SparkSession, index: InvertedIndex, phrase: str,
         bm25_topk_exact(spark, index, query, filter_docs=
                         phrase_match(spark, index, phrase, k=BIG))
     (tests/test_positions.py::test_phrase_filtered_bm25)."""
+    if index.cfg.index.token_cap > int(_POS_MULT):
+        raise ValueError(
+            f"phrase_match: token_cap {index.cfg.index.token_cap} exceeds "
+            f"the position radix {int(_POS_MULT)}; keys would collide")
     toks = tokenize_k1_py(phrase)
     out_schema = "doc_id long, n_occ long"
     if not toks:
