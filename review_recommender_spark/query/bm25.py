@@ -685,12 +685,22 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
                      k: int = 10, seed_ranges: int = 8,
                      min_ranges_to_prune: int = 1024,
                      fine_prune: bool = True,
-                     stats: dict | None = None) -> DataFrame:
+                     stats: dict | None = None,
+                     filter_docs: DataFrame | None = None) -> DataFrame:
     """Rank-identical to ``bm25_topk_exact``; skips doc-ranges whose summed
     per-term upper bounds cannot reach the k-th best score. Falls through
     to the exact single-action path when the query touches few ranges
     (pruning's extra jobs only pay off at scale — a head term at 10^12
-    docs touches ~10^8 ranges)."""
+    docs touches ~10^8 ranges).
+
+    ``filter_docs``: filtered retrieval, same before-top-k contract as
+    the exact/served paths. Rank-safety under pruning requires the
+    filter INSIDE the θ seeding, not just at the end: θ must be the k-th
+    best FILTERED score (an unfiltered θ can exceed every allowed doc's
+    score and prune ranges holding true filtered top-k docs). With θ
+    seeded filtered, the range/interval bounds — computed over ALL docs,
+    hence upper bounds for the allowed subset — keep the usual skip
+    argument (tests/test_filtered.py::test_pruned_filtered)."""
     idf = query_term_idf(spark, index, query)
     if not idf:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -713,9 +723,9 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
         if stats is not None:
             stats["pruning_engaged"] = False
         joined = blocks.drop("ub").join(F.broadcast(wdf), "term")
-        return _topk(_score_weighted_blocks(joined, index, False,
-                                            acc_blocks=acc),
-                     token_seq, k)
+        return _topk(_apply_doc_filter(
+            _score_weighted_blocks(joined, index, False, acc_blocks=acc),
+            filter_docs), token_seq, k)
     if stats is not None:
         stats["pruning_engaged"] = True
 
@@ -734,8 +744,9 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
         seed_blocks = blocks.filter(F.col("range_id").isin(seed)) \
             .join(F.broadcast(wdf), "term")
         seed_scored = _topk(
-            _score_weighted_blocks(seed_blocks, index, False,
-                                   acc_blocks=acc),
+            _apply_doc_filter(
+                _score_weighted_blocks(seed_blocks, index, False,
+                                       acc_blocks=acc), filter_docs),
             token_seq, k).collect()
         theta = (seed_scored[k - 1]["score"]
                  if len(seed_scored) >= k else float("-inf"))
@@ -765,9 +776,10 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
             rest_blocks = rest_blocks.join(
                 keep, ["range_id", "term", "block_id"], "left_semi")
         rest_blocks = rest_blocks.join(F.broadcast(wdf), "term")
-        rest = _topk(_score_weighted_blocks(rest_blocks, index, False,
-                                            acc_blocks=acc),
-                     token_seq, k)
+        rest = _topk(_apply_doc_filter(
+            _score_weighted_blocks(rest_blocks, index, False,
+                                   acc_blocks=acc), filter_docs),
+            token_seq, k)
         seed_df = spark.createDataFrame(
             [(r["doc_id"], r["score"]) for r in seed_scored], RESULT_SCHEMA)
         return (seed_df.unionByName(rest)

@@ -146,6 +146,31 @@ def test_empty_filter_returns_empty(spark, small_pages, small_index):
         small_index.unwarm()
 
 
+def test_pruned_filtered(spark, small_pages, small_index):
+    """The pruned path with a filter must seed θ from FILTERED scores: the
+    'es' slice (~2%) scores far below the unfiltered seeds, so an
+    unfiltered θ would prune ranges holding the true filtered top-k.
+    Bitwise identity with the exact filtered path, with and without the
+    fine block-level prune."""
+    from review_recommender_spark.query.bm25 import bm25_topk_pruned
+    fd = _es_filter(small_pages)
+    for q in QUERIES:
+        exact = _pairs(bm25_topk_exact(spark, small_index, q, k=10,
+                                       filter_docs=fd).collect())
+        for fine in (True, False):
+            pruned = _pairs(bm25_topk_pruned(
+                spark, small_index, q, k=10, seed_ranges=2,
+                min_ranges_to_prune=1, fine_prune=fine,
+                filter_docs=fd).collect())
+            assert pruned == exact, (q, fine)
+    # fall-through branch (few ranges → exact path) also filters
+    ft = _pairs(bm25_topk_pruned(spark, small_index, QUERIES[0], k=10,
+                                 min_ranges_to_prune=10**9,
+                                 filter_docs=fd).collect())
+    assert ft == _pairs(bm25_topk_exact(spark, small_index, QUERIES[0],
+                                        k=10, filter_docs=fd).collect())
+
+
 def test_block_skip_rank_safe_under_filter(spark, small_pages, small_index):
     """Skipping with the mask on must stay bitwise-identical to the
     unskipped masked kernel (a range bound over ALL docs upper-bounds the
