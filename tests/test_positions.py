@@ -207,6 +207,38 @@ def test_phrase_scan_pruned_and_column_clean(spark, pos_index):
     assert plan.count("hashpartitioning(range_id") == 1, plan
 
 
+def test_warm_phrase_serving_bitwise(spark, pos_index, page_texts):
+    """warm_positions pins the range-sharded layout; phrase answers must
+    be identical to the cold path, and unwarm releases the cache."""
+    from review_recommender_spark.index.positions import warm_positions
+    cold = {p: sorted((r["doc_id"], r["n_occ"]) for r in
+                      phrase_match(spark, pos_index, p, k=100000).collect())
+            for p in PHRASES}
+    warm_positions(spark, pos_index, serving_shards=5)
+    try:
+        assert "_positions" in pos_index._cached
+        for p in PHRASES:
+            got = sorted((r["doc_id"], r["n_occ"]) for r in
+                         phrase_match(spark, pos_index, p,
+                                      k=100000).collect())
+            assert got == cold[p], p
+        # the warm plan must not re-shuffle the resident layout
+        df = phrase_match(spark, pos_index, "wireless bluetooth", k=10)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        assert "InMemoryTableScan" in plan, plan
+        # no live Exchange ABOVE the cache (the InMemoryRelation's
+        # embedded description shows the exchange that BUILT it — that
+        # already-materialized plan doesn't count)
+        import re as _re
+        live = plan.split("InMemoryRelation")[0]
+        assert _re.search(r"\(\d+\) Exchange", live) is None \
+            and "Exchange" not in live.split("MapInPandas")[0], plan
+    finally:
+        pos_index.unwarm()
+    assert pos_index._cached is None
+
+
 def test_delta_merge_positions_byte_identical(spark, tmp_path):
     """delta_merge_index(positions='auto') must maintain the positional
     table incrementally — upsert (re-crawled text, positions shifted by a
