@@ -420,6 +420,21 @@ def main() -> None:
             extra["phrase_p50_sec"] = round(
                 float(np.percentile(lat, 50)), 3)
             extra["phrase_hits"] = n_hits
+            # warm phrase serving: resident range-sharded layout, no
+            # scan / no per-query exchange (results bitwise-identical,
+            # tests/test_positions.py)
+            from review_recommender_spark.index.positions import \
+                warm_positions
+            warm_positions(spark, idx)
+            phrase_match(spark, idx, phrases[0], k=10).collect()  # JIT
+            lat_w = []
+            for q in phrases:
+                t0 = time.perf_counter()
+                phrase_match(spark, idx, q, k=10).collect()
+                lat_w.append(time.perf_counter() - t0)
+            extra["phrase_warm_p50_sec"] = round(
+                float(np.percentile(lat_w, 50)), 3)
+            idx.unwarm()
 
         if "sf" in phases and os.path.isdir(sf_dir):
             # phase isolation: drop the 120k warm serving state + any
