@@ -145,6 +145,69 @@ def q_ft_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("n_occ"), F.asc("doc_id")))
 
 
+CONJ_MIN_MATCH = 3
+
+
+SNIPPET_WINDOW = 16
+# mixes the one rare positive-idf term of the sf corpus with common ones
+# so the top-k doc set has real multi-term windows (nd 1..5, nh up to ~7
+# at sf0.01) — a trivial corpus would make the span search vacuous
+SNIPPET_QUERY = "dup table scan value window"
+
+
+def q_ft_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet extraction over the positional index
+    (query/snippets.py::snippet_spans): for the BM25 top-k result set,
+    the best ``window``-token span per doc — max distinct query terms,
+    then max hits, then smallest start — with the hit offsets inside it,
+    computed ENTIRELY from the positions table (no corpus re-read). The
+    DuckDB twin recomputes spans by retokenizing the documents and
+    brute-forcing hit-anchored windows in SQL."""
+    from review_recommender_spark.index.positions import build_positions
+    from review_recommender_spark.query.snippets import snippet_spans
+    idx = _doc_index(spark, sf_dir)
+    if sf_dir not in _POSITIONS_BUILT:
+        build_positions(spark, idx.io, idx.cfg)
+        _POSITIONS_BUILT.add(sf_dir)
+    top = bm25_topk_exact(spark, idx, SNIPPET_QUERY, k=BM25_K)
+    return (snippet_spans(spark, idx, SNIPPET_QUERY, top.select("doc_id"),
+                          window=SNIPPET_WINDOW)
+            .orderBy("doc_id"))
+
+
+def q_ft_bm25_topk_conjunctive(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Minimum-should-match retrieval (exact path): true BM25 top-k of
+    the docs matching ≥ 3 distinct query terms — the constraint is a
+    map-size filter inside the query-order fold
+    (query/bm25.py::_fold_scores min_match=), applied BEFORE top-k so an
+    under-matched doc never occupies a slot. Scores bitwise-unchanged;
+    the DuckDB twin is a HAVING over the distinct matched-term count."""
+    idx = _doc_index(spark, sf_dir)
+    res = bm25_topk_exact(spark, idx, BM25_QUERY, k=BM25_K,
+                          min_match=CONJ_MIN_MATCH)
+    return (res.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
+def q_ft_bm25_topk_conjunctive_served(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Minimum-should-match on the zero-shuffle SERVED path: the
+    per-range distinct matched-term mask runs inside the shard-local
+    top-k kernel (θ = k-th best QUALIFYING score; block-max skipping
+    stays rank-safe — query/bm25.py::_served_local_topk min_matches=),
+    bitwise-identical to the exact route (tests/test_conjunctive.py),
+    so the same DuckDB recomputation gates both plans."""
+    idx = _doc_index(spark, sf_dir)
+    if not idx.is_warm():
+        idx.warm(spark)
+    from review_recommender_spark.query.bm25 import bm25_topk_served
+    res = bm25_topk_served(spark, idx, BM25_QUERY, k=BM25_K,
+                           min_match=CONJ_MIN_MATCH)
+    return (res.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
 def q_ft_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED retrieval (exact path): true BM25 top-k of the lang='en'
     slice of the corpus — the predicate is applied BEFORE top-k via a
@@ -703,9 +766,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_postings": q_ft_postings,
         "ft_bm25_topk": q_ft_bm25_topk,
         "ft_bm25_topk_served": q_ft_bm25_topk_served,
+        "ft_bm25_topk_conjunctive": q_ft_bm25_topk_conjunctive,
+        "ft_bm25_topk_conjunctive_served": q_ft_bm25_topk_conjunctive_served,
         "ft_bm25_topk_filtered": q_ft_bm25_topk_filtered,
         "ft_bm25_topk_filtered_served": q_ft_bm25_topk_filtered_served,
         "ft_phrase_match": q_ft_phrase_match,
+        "ft_snippets": q_ft_snippets,
         "tpch_q1": q_tpch_q1,
         "top3_lineitems": q_top3_lineitems,
         "customer_order_totals": q_customer_order_totals,
@@ -769,14 +835,20 @@ idf AS (SELECT term, df,
 
 
 def _bm25_sql(query: str, k1: float, b: float, k: int,
-              doc_where: str | None = None) -> str:
+              doc_where: str | None = None,
+              min_match: int | None = None) -> str:
     """``doc_where`` (optional SQL predicate over the documents table):
     filtered retrieval — scores are restricted to matching docs BEFORE
-    the LIMIT, mirroring the engine's before-top-k filter contract."""
+    the LIMIT, mirroring the engine's before-top-k filter contract.
+    ``min_match``: minimum-should-match — a HAVING over the per-doc
+    distinct matched-term count, the SQL twin of the engine's
+    before-top-k conjunctive constraint."""
     qtf = Counter(tokenize_k2_py(query))
     vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
     flt = (f"WHERE doc_id IN (SELECT doc_id FROM documents "
            f"WHERE {doc_where}) " if doc_where else "")
+    having = (f"HAVING count(DISTINCT tfc.term) >= {min_match}"
+              if min_match is not None and min_match > 1 else "")
     return f"""{_FT_BASE},
 q(term, qtf) AS (VALUES {vals}),
 scores AS (
@@ -786,7 +858,7 @@ scores AS (
                                  / (SELECT avgdl FROM stats)))) AS s
   FROM q JOIN idf USING (term) JOIN tfc USING (term)
          JOIN doclen ON tfc.doc_id = doclen.doc_id
-  GROUP BY tfc.doc_id)
+  GROUP BY tfc.doc_id {having})
 SELECT doc_id, round(s, 4) AS score FROM scores {flt}
 ORDER BY s DESC, doc_id LIMIT {k}"""
 
@@ -811,6 +883,48 @@ grams AS (SELECT doc_id,
 SELECT doc_id, count(*)::BIGINT AS n_occ FROM grams
 WHERE gram = '{lit}'
 GROUP BY doc_id ORDER BY n_occ DESC, doc_id LIMIT {k}"""
+
+
+def _snippet_sql(query: str, k1: float, b: float, k: int,
+                 window: int) -> str:
+    """SQL twin of ``query.snippets.snippet_spans`` over the BM25 top-k
+    doc set: recompute the top-k (same CTEs as ``_bm25_sql``), retokenize
+    those docs, enumerate hit-anchored ``window``-token spans via a
+    hits×hits self-join (bounded: k docs × query-term occurrences), and
+    pick per doc the (distinct desc, hits desc, start asc) winner."""
+    qtf = Counter(tokenize_k2_py(query))
+    vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
+    return f"""{_FT_BASE},
+q(term, qtf) AS (VALUES {vals}),
+scores AS (
+  SELECT tfc.doc_id,
+         sum(idf.idf * q.qtf * tfc.tf * ({k1} + 1)
+             / (tfc.tf + {k1} * (1 - {b} + {b} * doclen.dl
+                                 / (SELECT avgdl FROM stats)))) AS s
+  FROM q JOIN idf USING (term) JOIN tfc USING (term)
+         JOIN doclen ON tfc.doc_id = doclen.doc_id
+  GROUP BY tfc.doc_id),
+docset AS (SELECT doc_id FROM scores ORDER BY s DESC, doc_id LIMIT {k}),
+dtoks AS (SELECT doc_id, {K1SQL} AS toks FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM docset)),
+hits AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+         FROM (SELECT doc_id, toks,
+                      unnest(generate_series(1, len(toks))) AS i
+               FROM dtoks)
+         WHERE toks[i] IN (SELECT term FROM q)),
+wins AS (SELECT a.doc_id, a.pos AS s,
+                count(DISTINCT h.tok) AS nd, count(*) AS nh,
+                array_to_string(list_sort(array_agg(h.pos)), ',') AS hp
+         FROM hits a JOIN hits h ON a.doc_id = h.doc_id
+              AND h.pos >= a.pos AND h.pos < a.pos + {window}
+         GROUP BY a.doc_id, a.pos),
+best AS (SELECT doc_id, s, nd, nh, hp,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY nd DESC, nh DESC, s ASC) AS rn
+         FROM wins)
+SELECT doc_id, s::BIGINT AS snippet_start, nd::BIGINT AS n_distinct,
+       nh::BIGINT AS n_hits, hp AS hit_pos
+FROM best WHERE rn = 1 ORDER BY doc_id"""
 
 
 _LANG_HITS = {
@@ -1043,9 +1157,15 @@ SELECT term, df, round(idf, 6) AS idf FROM idf WHERE df >= 50""",
 SELECT term, doc_id, tf FROM tfc
 WHERE term IN ({', '.join(repr(t) for t in PROBE_TERMS)})""",
         "ft_bm25_topk": _bm25_sql(BM25_QUERY, 1.2, 0.75, BM25_K),
+        "ft_bm25_topk_conjunctive": _bm25_sql(
+            BM25_QUERY, 1.2, 0.75, BM25_K, min_match=CONJ_MIN_MATCH),
+        "ft_bm25_topk_conjunctive_served": _bm25_sql(
+            BM25_QUERY, 1.2, 0.75, BM25_K, min_match=CONJ_MIN_MATCH),
         "ft_bm25_topk_filtered": _bm25_sql(BM25_QUERY, 1.2, 0.75, BM25_K,
                                            doc_where="lang = 'en'"),
         "ft_phrase_match": _phrase_sql(PHRASE_QUERY, 100),
+        "ft_snippets": _snippet_sql(SNIPPET_QUERY, 1.2, 0.75, BM25_K,
+                                    SNIPPET_WINDOW),
         "ft_bm25_topk_filtered_served": _bm25_sql(
             BM25_QUERY, 1.2, 0.75, BM25_K, doc_where="lang = 'en'"),
         "ft_bm25_topk_served": " UNION ALL ".join(

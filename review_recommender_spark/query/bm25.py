@@ -53,6 +53,26 @@ def _qtf(query: str) -> dict[str, int]:
     return dict(Counter(tokenize_k2_py(query)))
 
 
+def _resolve_min_match(token_seq: list[str],
+                       min_match: int | str | None) -> int:
+    """Minimum-should-match resolution: ``None`` → 1 (any term),
+    ``"all"`` → the number of DISTINCT query tokens (conjunctive AND —
+    counted over ALL tokens, known or not, so a query containing a term
+    absent from the index can never be fully matched and returns empty,
+    the standard conjunctive contract), an int → itself (must be ≥ 1).
+    A doc qualifies iff it matches ≥ m distinct query terms; scores are
+    untouched (the constraint shrinks the candidate set only), so
+    conjunctive results stay bitwise-comparable across execution paths."""
+    if min_match is None:
+        return 1
+    if min_match == "all":
+        return max(1, len(set(token_seq)))
+    m = int(min_match)
+    if m < 1:
+        raise ValueError(f"min_match must be >= 1 or 'all', got {min_match}")
+    return m
+
+
 def _term_stats_pruned(spark: SparkSession, index: InvertedIndex,
                        terms: list[str]) -> DataFrame:
     buckets = sorted({term_bucket_py(t, index.cfg.index.term_buckets)
@@ -102,18 +122,25 @@ def query_term_idf(spark: SparkSession, index: InvertedIndex,
 
 
 def _fold_scores(partials: DataFrame, token_seq: list[str],
-                 keys: list[str]) -> DataFrame:
+                 keys: list[str], min_match: int = 1) -> DataFrame:
     """Per-key score = LEFT FOLD over the query token sequence (repeats
     included) of the per-(key, term) partials — the bit-exact float
     addition order of BM25Okapi's ``get_scores`` (score += per token).
     Spark's sum() aggregate adds in partition-arrival order, which is
     nondeterministic; with mathematically-tied scores that noise reorders
     the tie-break between runs and between execution paths. The fold is
-    pure JVM (map_from_entries + higher-order aggregate)."""
+    pure JVM (map_from_entries + higher-order aggregate).
+
+    ``min_match`` > 1: minimum-should-match — keys whose per-term map
+    holds fewer than m distinct matched terms are dropped BEFORE the
+    fold (the map's size IS the distinct matched-term count: partials
+    arrive one row per (key, term)). Zero extra passes over the data."""
     toks = F.array(*[F.lit(t) for t in token_seq])
     g = partials.groupBy(*keys).agg(
         F.map_from_entries(F.collect_list(F.struct("term", "score")))
         .alias("__pm"))
+    if min_match > 1:
+        g = g.filter(F.size("__pm") >= min_match)
     folded = F.aggregate(
         toks, F.lit(0.0),
         lambda acc, t: acc + F.coalesce(F.element_at(F.col("__pm"), t),
@@ -192,23 +219,35 @@ def _score_weighted_blocks(joined: DataFrame, index: InvertedIndex,
     return joined.mapInPandas(score, schema=schema)
 
 
-def _topk(partials: DataFrame, token_seq: list[str], k: int) -> DataFrame:
-    return (_fold_scores(partials, token_seq, ["doc_id"])
+def _topk(partials: DataFrame, token_seq: list[str], k: int,
+          min_match: int = 1) -> DataFrame:
+    return (_fold_scores(partials, token_seq, ["doc_id"],
+                         min_match=min_match)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k))
 
 
 def _fold_scores_batch(partials: DataFrame,
-                       token_seqs: list[list[str]]) -> DataFrame:
+                       token_seqs: list[list[str]],
+                       min_matches: list[int] | None = None) -> DataFrame:
     """Batch form of ``_fold_scores``: per-(query_id, doc_id) score as a
     LEFT FOLD over THAT query's token sequence — same bit-exact addition
-    order, query sequences dispatched by a literal query_id→tokens map."""
+    order, query sequences dispatched by a literal query_id→tokens map.
+    ``min_matches`` (aligned with ``token_seqs``): per-query
+    minimum-should-match, applied as a map-size filter before the fold
+    (see ``_fold_scores``)."""
     tok_map = F.create_map(*[
         x for qi, seq in enumerate(token_seqs)
         for x in (F.lit(qi), F.array(*[F.lit(t) for t in seq]))])
     g = partials.groupBy("query_id", "doc_id").agg(
         F.map_from_entries(F.collect_list(F.struct("term", "score")))
         .alias("__pm"))
+    if min_matches is not None and any(m > 1 for m in min_matches):
+        mm_map = F.create_map(*[
+            F.lit(x) for qi, m in enumerate(min_matches)
+            for x in (qi, m)])
+        g = g.filter(F.size("__pm")
+                     >= F.element_at(mm_map, F.col("query_id")))
     folded = F.aggregate(
         F.element_at(tok_map, F.col("query_id")), F.lit(0.0),
         lambda acc, t: acc + F.coalesce(F.element_at(F.col("__pm"), t),
@@ -218,7 +257,8 @@ def _fold_scores_batch(partials: DataFrame,
 
 def _cold_scores_batch(spark: SparkSession, index: InvertedIndex,
                        idf_map: dict, token_seqs: list[list[str]],
-                       warm_ranges: frozenset) -> DataFrame:
+                       warm_ranges: frozenset,
+                       min_matches: list[int] | None = None) -> DataFrame:
     """Exact per-(query_id, doc_id) scores over posting blocks whose
     range_id is NOT resident in a PARTIAL warm serving subset
     (``InvertedIndex.warm(ranges=...)``) — the on-disk half every served
@@ -242,7 +282,11 @@ def _cold_scores_batch(spark: SparkSession, index: InvertedIndex,
         if warm_ranges else F.lit(True))
     joined = blocks.join(F.broadcast(wdf), "term")
     partials = _score_weighted_blocks(joined, index, with_query_id=True)
-    return _fold_scores_batch(partials, token_seqs)
+    # min_match stays correct under the warm/cold split: a doc's complete
+    # postings live in ONE range, and a range is entirely warm or cold,
+    # so each side's per-doc distinct-matched-term count is total
+    return _fold_scores_batch(partials, token_seqs,
+                              min_matches=min_matches)
 
 
 def _mk_decode_acc(spark: SparkSession, stats: dict | None):
@@ -297,15 +341,22 @@ def _collect_filter_ids(filter_docs: DataFrame | None, cap: int):
 
 def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query: str,
                     k: int = 10, stats: dict | None = None,
-                    filter_docs: DataFrame | None = None) -> DataFrame:
+                    filter_docs: DataFrame | None = None,
+                    min_match: int | str | None = None) -> DataFrame:
     """Exact BM25 top-k in one action. ``filter_docs`` (optional DataFrame
     with a ``doc_id`` column) restricts ranking to those documents —
     applied BEFORE top-k selection (see ``_apply_doc_filter``), so the
     result is the true top-k of the filtered corpus, scored identically
-    to the unfiltered path."""
+    to the unfiltered path.
+
+    ``min_match``: minimum-should-match — ``"all"`` for conjunctive AND
+    semantics, an int m ≥ 1 to require m distinct matched query terms
+    (see ``_resolve_min_match``). Applied before top-k like the filter,
+    composes with it; scores are untouched."""
     qtf = _qtf(query)
     if not qtf:
         return spark.createDataFrame([], RESULT_SCHEMA)
+    token_seq = tokenize_k2_py(query)
     w = weights_df(spark, index, [query]).drop("query_id")
     blocks = _query_blocks(spark, index, sorted(qtf))
     joined = blocks.join(F.broadcast(w), "term")
@@ -313,14 +364,15 @@ def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query: str,
     partials = _score_weighted_blocks(joined, index, with_query_id=False,
                                       acc_blocks=acc)
     return _topk(_apply_doc_filter(partials, filter_docs),
-                 tokenize_k2_py(query), k)
+                 token_seq, k,
+                 min_match=_resolve_min_match(token_seq, min_match))
 
 
 def _served_local_topk(token_seqs: list[list[str]], idf_map: dict,
                        k1: float, b: float, avgdl: float, k: int,
                        block_skip: bool, with_query_id: bool,
                        acc_decoded=None, acc_total=None,
-                       allowed=None):
+                       allowed=None, min_matches=None):
     """Shared per-shard kernel for the served paths, WITH block-max
     skipping: before decoding anything, every block row's idf-free unit
     upper bound is computed from the resident (max_tf, min_dl) metadata
@@ -340,6 +392,15 @@ def _served_local_topk(token_seqs: list[list[str]], idf_map: dict,
     term's contribution — and every surviving doc's score is accumulated
     in QUERY TOKEN order over exactly the same per-block float partials
     as the unskipped kernel.
+
+    ``min_matches`` (optional list aligned with ``token_seqs``):
+    per-query minimum-should-match. A doc's distinct-matched-term count
+    is complete within its range (all of a doc's postings live in one
+    range of one shard), so the mask is applied per range before the
+    running top-k/θ update — θ is the k-th best QUALIFYING score, and
+    block-max skipping stays rank-safe for the same reason as with
+    ``allowed``: a range bound over all docs upper-bounds the
+    qualifying subset.
 
     ``acc_decoded``/``acc_total`` are optional Spark accumulators
     counting decoded vs resident block rows (task retries may
@@ -443,6 +504,18 @@ def _served_local_topk(token_seqs: list[list[str]], idf_map: dict,
                     for i in by_range_term.get((rid, tok), ()):
                         d, s = decoded[i]
                         totals[np.searchsorted(uniq, d)] += s
+                mm = min_matches[qi] if min_matches is not None else 1
+                if mm > 1:
+                    # distinct matched terms per doc: one block holds a
+                    # given (term, doc) at most once, so +1 per distinct
+                    # query term whose block contains the doc
+                    nmatch = np.zeros(len(uniq), dtype=np.int32)
+                    for tok in qtf:
+                        for i in by_range_term.get((rid, tok), ()):
+                            nmatch[np.searchsorted(uniq,
+                                                   decoded[i][0])] += 1
+                    keep = nmatch >= mm
+                    uniq, totals = uniq[keep], totals[keep]
                 if allowed is not None:
                     pos = np.searchsorted(allowed, uniq)
                     pos[pos >= len(allowed)] = 0
@@ -472,7 +545,8 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
                      k: int = 10, block_skip: bool = True,
                      stats: dict | None = None,
                      filter_docs: DataFrame | None = None,
-                     filter_broadcast_max: int = 5_000_000) -> DataFrame:
+                     filter_broadcast_max: int = 5_000_000,
+                     min_match: int | str | None = None) -> DataFrame:
     """Low-latency exact BM25 top-k over the warm DOC-SHARDED serving
     layout (``InvertedIndex.warm``): postings are resident in executor
     memory re-sharded by ``range_id``, so every document's complete
@@ -502,15 +576,22 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
     driver-sized (≤ ``filter_broadcast_max``) it ships to the shards as a
     sorted id mask and serving stays zero-shuffle; a larger survivor set
     falls back to the exact path's semi-join — the honest cost of a
-    non-selective filter at scale."""
+    non-selective filter at scale.
+
+    ``min_match``: minimum-should-match / conjunctive AND, same contract
+    as ``bm25_topk_exact`` (bitwise-identical results — gated in
+    tests/test_conjunctive.py)."""
     idf = query_term_idf(spark, index, query)
     if not idf:
         return spark.createDataFrame([], RESULT_SCHEMA)
+    token_seq = tokenize_k2_py(query)
+    mm = _resolve_min_match(token_seq, min_match)
     allowed, too_big = _collect_filter_ids(filter_docs,
                                            filter_broadcast_max)
     if too_big:
         return bm25_topk_exact(spark, index, query, k=k, stats=stats,
-                               filter_docs=filter_docs)
+                               filter_docs=filter_docs,
+                               min_match=min_match)
     if allowed is not None and not len(allowed):
         return spark.createDataFrame([], RESULT_SCHEMA)
     acc_d = acc_t = None
@@ -520,9 +601,10 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
         stats["decoded_blocks"] = acc_d
         stats["total_blocks"] = acc_t
     kernel = _served_local_topk(
-        [tokenize_k2_py(query)], idf, index.cfg.bm25.k1, index.cfg.bm25.b,
+        [token_seq], idf, index.cfg.bm25.k1, index.cfg.bm25.b,
         index.avgdl, k, block_skip, with_query_id=False,
-        acc_decoded=acc_d, acc_total=acc_t, allowed=allowed)
+        acc_decoded=acc_d, acc_total=acc_t, allowed=allowed,
+        min_matches=[mm])
     blocks = index.serving_df(spark).filter(
         F.col("term").isin(sorted(idf)))
     local = blocks.mapInPandas(kernel, schema=RESULT_SCHEMA)
@@ -531,7 +613,8 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
         # partial warm: exact-score the cold (non-resident) ranges on
         # disk and merge — result-identical to a fully-warm serve
         cold = _cold_scores_batch(spark, index, idf,
-                                  [tokenize_k2_py(query)], wr) \
+                                  [token_seq], wr,
+                                  min_matches=[mm]) \
             .drop("query_id")
         cold = _apply_doc_filter(cold, filter_docs)
         local = local.unionByName(cold)
@@ -543,7 +626,8 @@ def bm25_topk_served_batch(spark: SparkSession, index: InvertedIndex,
                            block_skip: bool = True,
                            stats: dict | None = None,
                            filter_docs: DataFrame | None = None,
-                           filter_broadcast_max: int = 5_000_000
+                           filter_broadcast_max: int = 5_000_000,
+                           min_match: int | str | None = None
                            ) -> DataFrame:
     """Batch form of ``bm25_topk_served``: ALL queries answered in ONE map
     stage over the warm doc-sharded serving layout, instead of one Spark
@@ -563,13 +647,21 @@ def bm25_topk_served_batch(spark: SparkSession, index: InvertedIndex,
     ``filter_docs``/``filter_broadcast_max``: filtered retrieval, same
     contract as ``bm25_topk_served`` (sorted-id mask in the kernel while
     driver-sized; semi-join fallback via the cold exact path beyond the
-    cap; applied before top-k either way)."""
+    cap; applied before top-k either way).
+
+    ``min_match``: minimum-should-match applied to EVERY query in the
+    batch; ``"all"`` resolves per query against its own distinct token
+    count (conjunctive AND per query)."""
     idf_map = {}
     token_seqs = []
+    min_matches = []
     for q in queries:
         idf = query_term_idf(spark, index, q)
         idf_map.update(idf)
-        token_seqs.append(tokenize_k2_py(q) if idf else [])
+        seq = tokenize_k2_py(q) if idf else []
+        token_seqs.append(seq)
+        min_matches.append(_resolve_min_match(tokenize_k2_py(q), min_match)
+                           if idf else 1)
     known = sorted(idf_map)
     if not known:
         return spark.createDataFrame([], "query_id int, " + RESULT_SCHEMA)
@@ -586,7 +678,7 @@ def bm25_topk_served_batch(spark: SparkSession, index: InvertedIndex,
         # the filter, then the same per-query window top-k
         scores = _apply_doc_filter(
             _cold_scores_batch(spark, index, idf_map, token_seqs,
-                               frozenset()),
+                               frozenset(), min_matches=min_matches),
             filter_docs)
         return (scores.withColumn("__r", F.row_number().over(w))
                 .filter(F.col("__r") <= k).drop("__r")
@@ -600,14 +692,16 @@ def bm25_topk_served_batch(spark: SparkSession, index: InvertedIndex,
     kernel = _served_local_topk(
         token_seqs, idf_map, index.cfg.bm25.k1, index.cfg.bm25.b,
         index.avgdl, k, block_skip, with_query_id=True,
-        acc_decoded=acc_d, acc_total=acc_t, allowed=allowed)
+        acc_decoded=acc_d, acc_total=acc_t, allowed=allowed,
+        min_matches=min_matches)
     blocks = index.serving_df(spark).filter(F.col("term").isin(known))
     local = blocks.mapInPandas(kernel,
                                schema="query_id int, " + RESULT_SCHEMA)
     wr = index.warm_ranges()
     if wr is not None:
         local = local.unionByName(_apply_doc_filter(
-            _cold_scores_batch(spark, index, idf_map, token_seqs, wr),
+            _cold_scores_batch(spark, index, idf_map, token_seqs, wr,
+                               min_matches=min_matches),
             filter_docs))
     return (local.withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= k).drop("__r")
@@ -686,7 +780,8 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
                      min_ranges_to_prune: int = 1024,
                      fine_prune: bool = True,
                      stats: dict | None = None,
-                     filter_docs: DataFrame | None = None) -> DataFrame:
+                     filter_docs: DataFrame | None = None,
+                     min_match: int | str | None = None) -> DataFrame:
     """Rank-identical to ``bm25_topk_exact``; skips doc-ranges whose summed
     per-term upper bounds cannot reach the k-th best score. Falls through
     to the exact single-action path when the query touches few ranges
@@ -700,12 +795,20 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
     score and prune ranges holding true filtered top-k docs). With θ
     seeded filtered, the range/interval bounds — computed over ALL docs,
     hence upper bounds for the allowed subset — keep the usual skip
-    argument (tests/test_filtered.py::test_pruned_filtered)."""
+    argument (tests/test_filtered.py::test_pruned_filtered).
+
+    ``min_match``: minimum-should-match, same contract and the same
+    θ-seeding argument as ``filter_docs`` (θ is the k-th best QUALIFYING
+    score; bounds over all docs upper-bound the qualifying subset). A
+    doc's distinct-matched-term count is complete within its range, so
+    applying the constraint separately to the seed and survivor passes
+    is exact."""
     idf = query_term_idf(spark, index, query)
     if not idf:
         return spark.createDataFrame([], RESULT_SCHEMA)
     qtf = _qtf(query)
     token_seq = tokenize_k2_py(query)
+    mm = _resolve_min_match(token_seq, min_match)
     # bounds use the FULL per-term weight (idf·qtf: a term's maximum total
     # contribution incl. query multiplicity); scoring uses single-idf
     # partials folded in query-token order (see _fold_scores)
@@ -725,7 +828,7 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
         joined = blocks.drop("ub").join(F.broadcast(wdf), "term")
         return _topk(_apply_doc_filter(
             _score_weighted_blocks(joined, index, False, acc_blocks=acc),
-            filter_docs), token_seq, k)
+            filter_docs), token_seq, k, min_match=mm)
     if stats is not None:
         stats["pruning_engaged"] = True
 
@@ -747,7 +850,7 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
             _apply_doc_filter(
                 _score_weighted_blocks(seed_blocks, index, False,
                                        acc_blocks=acc), filter_docs),
-            token_seq, k).collect()
+            token_seq, k, min_match=mm).collect()
         theta = (seed_scored[k - 1]["score"]
                  if len(seed_scored) >= k else float("-inf"))
 
@@ -779,7 +882,7 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
         rest = _topk(_apply_doc_filter(
             _score_weighted_blocks(rest_blocks, index, False,
                                    acc_blocks=acc), filter_docs),
-            token_seq, k)
+            token_seq, k, min_match=mm)
         seed_df = spark.createDataFrame(
             [(r["doc_id"], r["score"]) for r in seed_scored], RESULT_SCHEMA)
         return (seed_df.unionByName(rest)
