@@ -145,6 +145,64 @@ def q_ft_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("n_occ"), F.asc("doc_id")))
 
 
+BM25F_QUERY = "dup table scan"
+BM25F_TITLE_LEN = 4
+BM25F_WEIGHTS = (2.0, 1.0)
+_BM25F_CACHE: dict = {}
+
+
+def _bm25f_setup(spark: SparkSession, sf_dir: str):
+    """Title/body field indexes + combined doc-level stats over the
+    documents table (title = first 4 K1 tokens, body = the rest — field
+    text derived from the SAME JVM tokenizer the indexes use, so
+    join-with-space re-tokenizes identically)."""
+    if sf_dir in _BM25F_CACHE:
+        return _BM25F_CACHE[sf_dir]
+    from review_recommender_spark.functions.tokenize import tokenize_k1_col
+    from review_recommender_spark.query.bm25f import build_fielded_stats
+    docs = _load(spark, sf_dir, "documents")
+    k1toks = tokenize_k1_col(F.col("text"))
+    fields_df = docs.select(
+        "doc_id",
+        F.array_join(F.slice(k1toks, 1, BM25F_TITLE_LEN), " ")
+        .alias("title"),
+        F.array_join(F.slice(k1toks, BM25F_TITLE_LEN + 1, 1_000_000), " ")
+        .alias("body"))
+    cfg = EngineConfig(bm25=bm25_north())
+    base = os.path.join(tempfile.gettempdir(),
+                        "rrs_entry_bm25f_" + sf_dir.strip("/")
+                        .replace("/", "_"))
+    idxs, ios = [], []
+    for col in ("title", "body"):
+        io = TableIO(os.path.join(base, col))
+        idxs.append(build_index(
+            spark, fields_df.select("doc_id", F.col(col).alias("text")),
+            io, cfg, doc_id_col="doc_id", text_col="text", n_chunks=1))
+        ios.append(io)
+    sio = TableIO(os.path.join(base, "stats"))
+    build_fielded_stats(spark, ios, sio, cfg)
+    _BM25F_CACHE[sf_dir] = (idxs, sio)
+    return _BM25F_CACHE[sf_dir]
+
+
+def q_ft_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F fielded ranking (query/bm25f.py): per-field normalized tfs
+    combined BEFORE saturation (title weight 2×), idf from doc-level df
+    (term in ANY field) with the engine's ε-fixup — the standard fielded
+    extension a web engine ranks title/anchor vs body with. The DuckDB
+    twin recomputes both fields, the combined w, and the idf from the
+    raw documents table."""
+    from review_recommender_spark.query.bm25f import Bm25fField, bm25f_topk
+    (ftitle, fbody), sio = _bm25f_setup(spark, sf_dir)
+    res = bm25f_topk(
+        spark,
+        [Bm25fField(ftitle, BM25F_WEIGHTS[0], 0.75),
+         Bm25fField(fbody, BM25F_WEIGHTS[1], 0.75)],
+        sio, BM25F_QUERY, k=BM25_K)
+    return (res.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
 CONJ_MIN_MATCH = 3
 
 
@@ -772,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk_filtered_served": q_ft_bm25_topk_filtered_served,
         "ft_phrase_match": q_ft_phrase_match,
         "ft_snippets": q_ft_snippets,
+        "ft_bm25f_topk": q_ft_bm25f_topk,
         "tpch_q1": q_tpch_q1,
         "top3_lineitems": q_top3_lineitems,
         "customer_order_totals": q_customer_order_totals,
@@ -883,6 +942,54 @@ grams AS (SELECT doc_id,
 SELECT doc_id, count(*)::BIGINT AS n_occ FROM grams
 WHERE gram = '{lit}'
 GROUP BY doc_id ORDER BY n_occ DESC, doc_id LIMIT {k}"""
+
+
+def _bm25f_sql(query: str, k1: float, b: float, k: int,
+               title_len: int, w0: float, w1: float) -> str:
+    """SQL twin of ``query.bm25f.bm25f_topk`` over the title/body split:
+    per-field tf and dl from token slices, per-field avgdl, doc-level df
+    (ANY field) with the ε-fixup idf, w = w0·tf0/B0 + w1·tf1/B1, score =
+    Σ idf·qtf·w·(k1+1)/(k1+w)."""
+    qtf = Counter(tokenize_k2_py(query))
+    vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
+    return f"""
+WITH dtoks AS (SELECT doc_id, {K1SQL} AS toks FROM documents),
+nn AS (SELECT count(*) AS n FROM dtoks),
+fld AS (
+  SELECT doc_id, 0 AS fid, list_slice(toks, 1, {title_len}) AS t
+  FROM dtoks
+  UNION ALL
+  SELECT doc_id, 1 AS fid, list_slice(toks, {title_len} + 1, len(toks)) AS t
+  FROM dtoks),
+occ AS (SELECT doc_id, fid, unnest(t) AS term FROM fld),
+tfc AS (SELECT doc_id, fid, term, count(*)::DOUBLE AS tf
+        FROM occ GROUP BY doc_id, fid, term),
+dl AS (SELECT doc_id, fid, len(t)::DOUBLE AS dl FROM fld),
+av AS (SELECT fid, avg(dl) AS avgdl FROM dl GROUP BY fid),
+dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM occ GROUP BY term),
+idf_raw AS (SELECT term,
+                   ln((SELECT n FROM nn) - df + 0.5) - ln(df + 0.5) AS raw
+            FROM dfc),
+avgidf AS (SELECT avg(raw) AS avr FROM idf_raw),
+idf AS (SELECT term,
+               CASE WHEN raw < 0 THEN 0.25 * (SELECT avr FROM avgidf)
+                    ELSE raw END AS idf
+        FROM idf_raw),
+q(term, qtf) AS (VALUES {vals}),
+tfn AS (SELECT tfc.doc_id, tfc.term, tfc.fid,
+               tfc.tf / (1 - {b} + {b} * dl.dl / av.avgdl) AS tfn
+        FROM tfc JOIN dl ON tfc.doc_id = dl.doc_id AND tfc.fid = dl.fid
+                 JOIN av ON tfc.fid = av.fid),
+w AS (SELECT doc_id, term,
+             sum(CASE WHEN fid = 0 THEN {w0} ELSE {w1} END * tfn) AS w
+      FROM tfn GROUP BY doc_id, term),
+scores AS (SELECT w.doc_id,
+                  sum(idf.idf * q.qtf * w.w * ({k1} + 1)
+                      / ({k1} + w.w)) AS s
+           FROM q JOIN idf USING (term) JOIN w USING (term)
+           GROUP BY w.doc_id)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY s DESC, doc_id LIMIT {k}"""
 
 
 def _snippet_sql(query: str, k1: float, b: float, k: int,
@@ -1166,6 +1273,8 @@ WHERE term IN ({', '.join(repr(t) for t in PROBE_TERMS)})""",
         "ft_phrase_match": _phrase_sql(PHRASE_QUERY, 100),
         "ft_snippets": _snippet_sql(SNIPPET_QUERY, 1.2, 0.75, BM25_K,
                                     SNIPPET_WINDOW),
+        "ft_bm25f_topk": _bm25f_sql(BM25F_QUERY, 1.2, 0.75, BM25_K,
+                                    BM25F_TITLE_LEN, *BM25F_WEIGHTS),
         "ft_bm25_topk_filtered_served": _bm25_sql(
             BM25_QUERY, 1.2, 0.75, BM25_K, doc_where="lang = 'en'"),
         "ft_bm25_topk_served": " UNION ALL ".join(
