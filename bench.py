@@ -203,6 +203,17 @@ def main() -> None:
                 lat_p.append(time.perf_counter() - t0)
             extra["bm25_pruned_p50_sec"] = round(
                 float(np.percentile(lat_p, 50)), 3)
+            # conjunctive (min_match='all') on the served path: the
+            # per-range count mask rides the same zero-shuffle kernel
+            # (bitwise gates in tests/test_conjunctive.py)
+            lat_c = []
+            for q in GOLDEN_PHRASES[:5]:
+                t0 = time.perf_counter()
+                bm25_topk_served(spark, idx, q, k=10,
+                                 min_match="all").collect()
+                lat_c.append(time.perf_counter() - t0)
+            extra["bm25_conjunctive_p50_sec"] = round(
+                float(np.percentile(lat_c, 50)), 3)
 
         if "conc" in phases and idx is not None:
             # CONCURRENT serving: 8 client threads, 40 queries total,
@@ -434,6 +445,23 @@ def main() -> None:
                 lat_w.append(time.perf_counter() - t0)
             extra["phrase_warm_p50_sec"] = round(
                 float(np.percentile(lat_w, 50)), 3)
+            # snippet serving over the warm positions layout: best-span +
+            # hit offsets for a 10-doc result set, positions-table-only
+            # (no corpus read — query/snippets.py)
+            from review_recommender_spark.query.snippets import snippet_spans
+            top_ids = [r["doc_id"] for r in bm25_topk_exact(
+                spark, idx, GOLDEN_PHRASES[0], k=10).collect()]
+            snippet_spans(spark, idx, GOLDEN_PHRASES[0], top_ids,
+                          window=30).collect()  # JIT
+            lat_s = []
+            for q in GOLDEN_PHRASES[:5]:
+                ids = [r["doc_id"] for r in bm25_topk_exact(
+                    spark, idx, q, k=10).collect()]
+                t0 = time.perf_counter()
+                snippet_spans(spark, idx, q, ids, window=30).collect()
+                lat_s.append(time.perf_counter() - t0)
+            extra["snippet_warm_p50_sec"] = round(
+                float(np.percentile(lat_s, 50)), 3)
             idx.unwarm()
 
         if "sf" in phases and os.path.isdir(sf_dir):
