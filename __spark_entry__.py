@@ -203,6 +203,27 @@ def q_ft_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
+DSL_QUERY = 'scan "part filter" -vector'
+
+
+def q_ft_dsl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-box DSL (query/parser.py): free terms rank, the quoted
+    phrase is a positional MUST (phrase_match semi-join), '-vector' is a
+    MUST NOT (posting-docs anti-join) — all compiled onto the gated
+    engine primitives with BM25 scores unchanged. The DuckDB twin ranks
+    the same word sequence and applies both constraints as predicates
+    over the retokenized documents."""
+    from review_recommender_spark.index.positions import build_positions
+    from review_recommender_spark.query.parser import dsl_search
+    idx = _doc_index(spark, sf_dir)
+    if sf_dir not in _POSITIONS_BUILT:
+        build_positions(spark, idx.io, idx.cfg)
+        _POSITIONS_BUILT.add(sf_dir)
+    res = dsl_search(spark, idx, DSL_QUERY, k=BM25_K)
+    return (res.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
 CONJ_MIN_MATCH = 3
 
 
@@ -831,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_match": q_ft_phrase_match,
         "ft_snippets": q_ft_snippets,
         "ft_bm25f_topk": q_ft_bm25f_topk,
+        "ft_dsl_search": q_ft_dsl_search,
         "tpch_q1": q_tpch_q1,
         "top3_lineitems": q_top3_lineitems,
         "customer_order_totals": q_customer_order_totals,
@@ -1275,6 +1297,17 @@ WHERE term IN ({', '.join(repr(t) for t in PROBE_TERMS)})""",
                                     SNIPPET_WINDOW),
         "ft_bm25f_topk": _bm25f_sql(BM25F_QUERY, 1.2, 0.75, BM25_K,
                                     BM25F_TITLE_LEN, *BM25F_WEIGHTS),
+        # DSL 'scan "part filter" -vector': rank the word sequence, MUST
+        # contain the consecutive phrase, MUST NOT contain 'vector'
+        "ft_dsl_search": _bm25_sql(
+            "scan part filter", 1.2, 0.75, BM25_K,
+            doc_where=(
+                f"len(list_filter({K1SQL}, t -> t = 'vector')) = 0 "
+                f"AND doc_id IN (SELECT doc_id FROM ("
+                f"SELECT doc_id, unnest(list_transform("
+                f"generate_series(1, greatest(len({K1SQL}) - 1, 0)), "
+                f"i -> array_to_string(list_slice({K1SQL}, i, i + 1), ' ')"
+                f")) AS gram FROM documents) WHERE gram = 'part filter')")),
         "ft_bm25_topk_filtered_served": _bm25_sql(
             BM25_QUERY, 1.2, 0.75, BM25_K, doc_where="lang = 'en'"),
         "ft_bm25_topk_served": " UNION ALL ".join(

@@ -297,6 +297,20 @@ def _mk_decode_acc(spark: SparkSession, stats: dict | None):
     return acc
 
 
+def _apply_doc_exclude(partials: DataFrame,
+                       exclude_docs: DataFrame | None) -> DataFrame:
+    """NEGATIVE filtered retrieval: drop documents present in
+    ``exclude_docs`` (any DataFrame with a ``doc_id`` column) BEFORE
+    top-k — the `-term` / must-not side of a boolean query. A LEFT ANTI
+    join on the score partials: the exclusion set is typically another
+    term's posting docs (bounded by that term's df), which Catalyst
+    broadcasts when small; 'all docs except X' never materializes."""
+    if exclude_docs is None:
+        return partials
+    return partials.join(exclude_docs.select("doc_id"), "doc_id",
+                         "left_anti")
+
+
 def _apply_doc_filter(partials: DataFrame,
                       filter_docs: DataFrame | None) -> DataFrame:
     """Restrict per-(doc, term) score partials to documents present in
@@ -339,10 +353,33 @@ def _collect_filter_ids(filter_docs: DataFrame | None, cap: int):
     return ids, False
 
 
+def term_docs(spark: SparkSession, index: InvertedIndex,
+              term: str) -> DataFrame:
+    """All doc_ids whose postings contain ``term`` (one bucket+term-pruned
+    block scan + Arrow decode) — the building block for boolean
+    constraints: required terms semi-join, excluded terms anti-join
+    (query/parser.py). Size is the term's df, not the corpus."""
+    blocks = _query_blocks(spark, index, [term])
+
+    def explode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            if not len(pdf):
+                continue
+            outs = [decode_block(bytes(db), bytes(tb), bytes(lb), int(n))[0]
+                    for n, db, tb, lb in zip(pdf["n"], pdf["doc_bytes"],
+                                             pdf["tf_bytes"],
+                                             pdf["dl_bytes"])]
+            yield pd.DataFrame({"doc_id": np.concatenate(outs)})
+
+    return blocks.mapInPandas(explode, schema="doc_id long")
+
+
 def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query: str,
                     k: int = 10, stats: dict | None = None,
                     filter_docs: DataFrame | None = None,
-                    min_match: int | str | None = None) -> DataFrame:
+                    min_match: int | str | None = None,
+                    exclude_docs: DataFrame | None = None) -> DataFrame:
     """Exact BM25 top-k in one action. ``filter_docs`` (optional DataFrame
     with a ``doc_id`` column) restricts ranking to those documents —
     applied BEFORE top-k selection (see ``_apply_doc_filter``), so the
@@ -352,7 +389,10 @@ def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query: str,
     ``min_match``: minimum-should-match — ``"all"`` for conjunctive AND
     semantics, an int m ≥ 1 to require m distinct matched query terms
     (see ``_resolve_min_match``). Applied before top-k like the filter,
-    composes with it; scores are untouched."""
+    composes with it; scores are untouched.
+
+    ``exclude_docs``: must-NOT filter (see ``_apply_doc_exclude``) —
+    composes with both of the above."""
     qtf = _qtf(query)
     if not qtf:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -363,8 +403,9 @@ def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query: str,
     acc = _mk_decode_acc(spark, stats)
     partials = _score_weighted_blocks(joined, index, with_query_id=False,
                                       acc_blocks=acc)
-    return _topk(_apply_doc_filter(partials, filter_docs),
-                 token_seq, k,
+    partials = _apply_doc_exclude(_apply_doc_filter(partials, filter_docs),
+                                  exclude_docs)
+    return _topk(partials, token_seq, k,
                  min_match=_resolve_min_match(token_seq, min_match))
 
 

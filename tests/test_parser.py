@@ -1,0 +1,108 @@
+"""Search-box DSL (query/parser.py): parsing + boolean execution,
+ground-truthed against driver-side retokenization and the full ranking."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from review_recommender_spark.functions.tokenize import tokenize_k1_py
+from review_recommender_spark.index.positions import build_positions
+from review_recommender_spark.query.bm25 import bm25_topk_exact, term_docs
+from review_recommender_spark.query.parser import dsl_search, parse_query
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, small_pages, small_index):
+    build_positions(spark, small_index.io, small_index.cfg)
+    return small_index
+
+
+@pytest.fixture(scope="module")
+def page_texts(small_pages_pdf):
+    return dict(zip(small_pages_pdf["doc_id"], small_pages_pdf["text"]))
+
+
+def test_parse_query_grammar():
+    pq = parse_query('wireless +bluetooth -cheap "gaming keyboard" socks')
+    assert pq.free == ["wireless", "socks"]
+    assert pq.required == ["bluetooth"]
+    assert pq.excluded == ["cheap"]
+    assert pq.phrases == ["gaming keyboard"]
+    assert pq.ranking_text == "wireless socks bluetooth gaming keyboard"
+    # sigils inside quotes are literal; bare sigils and empty quotes drop
+    pq2 = parse_query('"+not -a sigil" + - ""')
+    assert pq2.phrases == ["+not -a sigil"]
+    assert pq2.free == pq2.required == pq2.excluded == []
+
+
+def test_term_docs_matches_retokenize(spark, small_index, page_texts):
+    got = {r["doc_id"] for r in
+           term_docs(spark, small_index, "bluetooth").collect()}
+    want = {d for d, t in page_texts.items()
+            if "bluetooth" in tokenize_k1_py(t)}
+    assert got == want and got
+
+
+def test_required_and_excluded(spark, small_index, page_texts):
+    """+bluetooth -socks: every result contains bluetooth and not socks;
+    scores equal the plain ranking's scores; result is the true top-k of
+    the constrained set."""
+    q = 'wireless +bluetooth -socks'
+    got = dsl_search(spark, small_index, q, k=10).collect()
+    assert got
+    full = bm25_topk_exact(spark, small_index, "wireless bluetooth",
+                           k=2000).collect()
+    ok = [r for r in full
+          if "bluetooth" in tokenize_k1_py(page_texts[r["doc_id"]])
+          and "socks" not in tokenize_k1_py(page_texts[r["doc_id"]])][:10]
+    assert [(r["doc_id"], r["score"]) for r in got] \
+        == [(r["doc_id"], r["score"]) for r in ok]
+
+
+def test_phrase_constraint(spark, pos_index, page_texts):
+    """Quoted phrase: results must contain the exact consecutive token
+    pair, ranked by BM25 over all the words."""
+    q = '"wireless headphones" bluetooth'
+    got = dsl_search(spark, pos_index, q, k=10).collect()
+    assert got
+    ptoks = tokenize_k1_py("wireless headphones")
+    for r in got:
+        toks = tokenize_k1_py(page_texts[r["doc_id"]])
+        assert any(toks[i:i + 2] == ptoks
+                   for i in range(len(toks) - 1)), r["doc_id"]
+    # scores equal the plain ranking of the same word sequence
+    base = {r["doc_id"]: r["score"] for r in bm25_topk_exact(
+        spark, pos_index, "bluetooth wireless headphones", k=2000).collect()}
+    for r in got:
+        assert r["score"] == base[r["doc_id"]]
+
+
+def test_ranking_order_is_query_order(spark, pos_index):
+    """The DSL spec: ranking text is free + required + phrase words in
+    that order (the fold is order-sensitive on ties)."""
+    a = dsl_search(spark, pos_index, 'wireless +bluetooth', k=10).collect()
+    b = bm25_topk_exact(
+        spark, pos_index, "wireless bluetooth", k=2000,
+        filter_docs=term_docs(spark, pos_index, "bluetooth")).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] \
+        == [(r["doc_id"], r["score"]) for r in b[:10]]
+
+
+def test_composes_with_metadata_filter(spark, small_pages, small_index,
+                                       page_texts):
+    fd = small_pages.filter(F.col("lang") == "en").select("doc_id")
+    allowed = {r["doc_id"] for r in fd.collect()}
+    got = dsl_search(spark, small_index, "wireless +bluetooth", k=10,
+                     filter_docs=fd).collect()
+    assert got
+    for r in got:
+        assert r["doc_id"] in allowed
+        assert "bluetooth" in tokenize_k1_py(page_texts[r["doc_id"]])
+
+
+def test_empty_and_constraint_only(spark, small_index):
+    assert dsl_search(spark, small_index, "", k=10).count() == 0
+    # exclusion-only has no ranking text → empty by spec
+    assert dsl_search(spark, small_index, "-wireless", k=10).count() == 0
+    # required-only still ranks (required terms rank too)
+    got = dsl_search(spark, small_index, "+bluetooth", k=5).collect()
+    assert got
