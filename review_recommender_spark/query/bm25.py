@@ -413,7 +413,7 @@ def _served_local_topk(token_seqs: list[list[str]], idf_map: dict,
                        k1: float, b: float, avgdl: float, k: int,
                        block_skip: bool, with_query_id: bool,
                        acc_decoded=None, acc_total=None,
-                       allowed=None, min_matches=None):
+                       allowed=None, min_matches=None, blocked=None):
     """Shared per-shard kernel for the served paths, WITH block-max
     skipping: before decoding anything, every block row's idf-free unit
     upper bound is computed from the resident (max_tf, min_dl) metadata
@@ -457,7 +457,12 @@ def _served_local_topk(token_seqs: list[list[str]], idf_map: dict,
     never wrong. Ships to executors via closure capture (same Spark
     broadcast mechanics as the idf map); callers cap its size
     (``_collect_filter_ids``) and fall back to the join-based exact path
-    beyond the cap."""
+    beyond the cap.
+
+    ``blocked`` (optional SORTED unique int64 numpy array): the NEGATIVE
+    mask — excluded docs never enter the local top-k (the `-term` side of
+    a boolean query). Same θ/bound rank-safety as ``allowed``: dropping
+    docs only lowers θ, and bounds over all docs stay upper bounds."""
 
     def local_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -563,6 +568,11 @@ def _served_local_topk(token_seqs: list[list[str]], idf_map: dict,
                     keep = (allowed[pos] == uniq) if len(allowed) \
                         else np.zeros(len(uniq), dtype=bool)
                     uniq, totals = uniq[keep], totals[keep]
+                if blocked is not None and len(blocked) and len(uniq):
+                    pos = np.searchsorted(blocked, uniq)
+                    pos[pos >= len(blocked)] = 0
+                    keep = blocked[pos] != uniq
+                    uniq, totals = uniq[keep], totals[keep]
                 # each doc lives in exactly one range → concat never
                 # duplicates; keep only the running local top-k
                 run_d = np.concatenate([run_d, uniq])
@@ -587,7 +597,8 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
                      stats: dict | None = None,
                      filter_docs: DataFrame | None = None,
                      filter_broadcast_max: int = 5_000_000,
-                     min_match: int | str | None = None) -> DataFrame:
+                     min_match: int | str | None = None,
+                     exclude_docs: DataFrame | None = None) -> DataFrame:
     """Low-latency exact BM25 top-k over the warm DOC-SHARDED serving
     layout (``InvertedIndex.warm``): postings are resident in executor
     memory re-sharded by ``range_id``, so every document's complete
@@ -621,7 +632,11 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
 
     ``min_match``: minimum-should-match / conjunctive AND, same contract
     as ``bm25_topk_exact`` (bitwise-identical results — gated in
-    tests/test_conjunctive.py)."""
+    tests/test_conjunctive.py).
+
+    ``exclude_docs``: must-NOT filter — ships as a sorted blocked mask
+    while driver-sized (serving stays zero-shuffle), falls back to the
+    exact anti-join beyond the cap."""
     idf = query_term_idf(spark, index, query)
     if not idf:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -629,10 +644,13 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
     mm = _resolve_min_match(token_seq, min_match)
     allowed, too_big = _collect_filter_ids(filter_docs,
                                            filter_broadcast_max)
-    if too_big:
+    blocked, ex_too_big = _collect_filter_ids(exclude_docs,
+                                              filter_broadcast_max)
+    if too_big or ex_too_big:
         return bm25_topk_exact(spark, index, query, k=k, stats=stats,
                                filter_docs=filter_docs,
-                               min_match=min_match)
+                               min_match=min_match,
+                               exclude_docs=exclude_docs)
     if allowed is not None and not len(allowed):
         return spark.createDataFrame([], RESULT_SCHEMA)
     acc_d = acc_t = None
@@ -645,7 +663,7 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
         [token_seq], idf, index.cfg.bm25.k1, index.cfg.bm25.b,
         index.avgdl, k, block_skip, with_query_id=False,
         acc_decoded=acc_d, acc_total=acc_t, allowed=allowed,
-        min_matches=[mm])
+        min_matches=[mm], blocked=blocked)
     blocks = index.serving_df(spark).filter(
         F.col("term").isin(sorted(idf)))
     local = blocks.mapInPandas(kernel, schema=RESULT_SCHEMA)
@@ -657,7 +675,8 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
                                   [token_seq], wr,
                                   min_matches=[mm]) \
             .drop("query_id")
-        cold = _apply_doc_filter(cold, filter_docs)
+        cold = _apply_doc_exclude(_apply_doc_filter(cold, filter_docs),
+                                  exclude_docs)
         local = local.unionByName(cold)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -668,7 +687,8 @@ def bm25_topk_served_batch(spark: SparkSession, index: InvertedIndex,
                            stats: dict | None = None,
                            filter_docs: DataFrame | None = None,
                            filter_broadcast_max: int = 5_000_000,
-                           min_match: int | str | None = None
+                           min_match: int | str | None = None,
+                           exclude_docs: DataFrame | None = None
                            ) -> DataFrame:
     """Batch form of ``bm25_topk_served``: ALL queries answered in ONE map
     stage over the warm doc-sharded serving layout, instead of one Spark
@@ -708,19 +728,21 @@ def bm25_topk_served_batch(spark: SparkSession, index: InvertedIndex,
         return spark.createDataFrame([], "query_id int, " + RESULT_SCHEMA)
     allowed, too_big = _collect_filter_ids(filter_docs,
                                            filter_broadcast_max)
+    blocked, ex_too_big = _collect_filter_ids(exclude_docs,
+                                              filter_broadcast_max)
     if allowed is not None and not len(allowed):
         return spark.createDataFrame([], "query_id int, " + RESULT_SCHEMA)
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                F.asc("doc_id"))
-    if too_big:
+    if too_big or ex_too_big:
         # non-selective filter: exact per-(query, doc) scores over the
         # on-disk blocks (warm_ranges=∅ ⇒ all ranges), semi-joined with
         # the filter, then the same per-query window top-k
-        scores = _apply_doc_filter(
+        scores = _apply_doc_exclude(_apply_doc_filter(
             _cold_scores_batch(spark, index, idf_map, token_seqs,
                                frozenset(), min_matches=min_matches),
-            filter_docs)
+            filter_docs), exclude_docs)
         return (scores.withColumn("__r", F.row_number().over(w))
                 .filter(F.col("__r") <= k).drop("__r")
                 .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
@@ -734,16 +756,16 @@ def bm25_topk_served_batch(spark: SparkSession, index: InvertedIndex,
         token_seqs, idf_map, index.cfg.bm25.k1, index.cfg.bm25.b,
         index.avgdl, k, block_skip, with_query_id=True,
         acc_decoded=acc_d, acc_total=acc_t, allowed=allowed,
-        min_matches=min_matches)
+        min_matches=min_matches, blocked=blocked)
     blocks = index.serving_df(spark).filter(F.col("term").isin(known))
     local = blocks.mapInPandas(kernel,
                                schema="query_id int, " + RESULT_SCHEMA)
     wr = index.warm_ranges()
     if wr is not None:
-        local = local.unionByName(_apply_doc_filter(
+        local = local.unionByName(_apply_doc_exclude(_apply_doc_filter(
             _cold_scores_batch(spark, index, idf_map, token_seqs, wr,
                                min_matches=min_matches),
-            filter_docs))
+            filter_docs), exclude_docs))
     return (local.withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= k).drop("__r")
             .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
@@ -822,7 +844,8 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
                      fine_prune: bool = True,
                      stats: dict | None = None,
                      filter_docs: DataFrame | None = None,
-                     min_match: int | str | None = None) -> DataFrame:
+                     min_match: int | str | None = None,
+                     exclude_docs: DataFrame | None = None) -> DataFrame:
     """Rank-identical to ``bm25_topk_exact``; skips doc-ranges whose summed
     per-term upper bounds cannot reach the k-th best score. Falls through
     to the exact single-action path when the query touches few ranges
@@ -843,7 +866,10 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
     score; bounds over all docs upper-bound the qualifying subset). A
     doc's distinct-matched-term count is complete within its range, so
     applying the constraint separately to the seed and survivor passes
-    is exact."""
+    is exact.
+
+    ``exclude_docs``: must-NOT filter, same θ-seeding argument (excluding
+    docs only lowers θ; bounds over all docs stay upper bounds)."""
     idf = query_term_idf(spark, index, query)
     if not idf:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -867,9 +893,9 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
         if stats is not None:
             stats["pruning_engaged"] = False
         joined = blocks.drop("ub").join(F.broadcast(wdf), "term")
-        return _topk(_apply_doc_filter(
+        return _topk(_apply_doc_exclude(_apply_doc_filter(
             _score_weighted_blocks(joined, index, False, acc_blocks=acc),
-            filter_docs), token_seq, k, min_match=mm)
+            filter_docs), exclude_docs), token_seq, k, min_match=mm)
     if stats is not None:
         stats["pruning_engaged"] = True
 
@@ -888,9 +914,10 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
         seed_blocks = blocks.filter(F.col("range_id").isin(seed)) \
             .join(F.broadcast(wdf), "term")
         seed_scored = _topk(
-            _apply_doc_filter(
+            _apply_doc_exclude(_apply_doc_filter(
                 _score_weighted_blocks(seed_blocks, index, False,
                                        acc_blocks=acc), filter_docs),
+                exclude_docs),
             token_seq, k, min_match=mm).collect()
         theta = (seed_scored[k - 1]["score"]
                  if len(seed_scored) >= k else float("-inf"))
@@ -920,9 +947,10 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
             rest_blocks = rest_blocks.join(
                 keep, ["range_id", "term", "block_id"], "left_semi")
         rest_blocks = rest_blocks.join(F.broadcast(wdf), "term")
-        rest = _topk(_apply_doc_filter(
+        rest = _topk(_apply_doc_exclude(_apply_doc_filter(
             _score_weighted_blocks(rest_blocks, index, False,
                                    acc_blocks=acc), filter_docs),
+            exclude_docs),
             token_seq, k, min_match=mm)
         seed_df = spark.createDataFrame(
             [(r["doc_id"], r["score"]) for r in seed_scored], RESULT_SCHEMA)

@@ -108,5 +108,12 @@ def dsl_search(spark: SparkSession, index: InvertedIndex, query: str,
         td = term_docs(spark, index, t)
         ex = td if ex is None else ex.unionByName(td)
 
+    if index.is_warm():
+        # boolean queries at serving latency: constraints ship as sorted
+        # allowed/blocked masks into the zero-shuffle shard kernel
+        # (bitwise-identical to the exact route — tests/test_parser.py)
+        from .bm25 import bm25_topk_served
+        return bm25_topk_served(spark, index, ranking, k=k,
+                                filter_docs=fd, exclude_docs=ex)
     return bm25_topk_exact(spark, index, ranking, k=k, filter_docs=fd,
                            exclude_docs=ex)

@@ -99,6 +99,69 @@ def test_composes_with_metadata_filter(spark, small_pages, small_index,
         assert "bluetooth" in tokenize_k1_py(page_texts[r["doc_id"]])
 
 
+def test_served_exclusion_bitwise_equals_exact(spark, small_index):
+    """exclude_docs on the served path (sorted blocked mask in the shard
+    kernel) must equal the exact anti-join route bitwise, with block-max
+    skipping on and off, and via the forced fallback."""
+    from review_recommender_spark.query.bm25 import (bm25_topk_served,
+                                                     bm25_topk_served_batch)
+    ex = term_docs(spark, small_index, "socks")
+    q = "wireless bluetooth headphones"
+    exact = [(r["doc_id"], r["score"]) for r in bm25_topk_exact(
+        spark, small_index, q, k=10, exclude_docs=ex).collect()]
+    assert exact
+    small_index.warm(spark, serving_shards=5)
+    try:
+        for skip in (True, False):
+            served = [(r["doc_id"], r["score"]) for r in bm25_topk_served(
+                spark, small_index, q, k=10, exclude_docs=ex,
+                block_skip=skip).collect()]
+            assert served == exact, skip
+        fb = [(r["doc_id"], r["score"]) for r in bm25_topk_served(
+            spark, small_index, q, k=10, exclude_docs=ex,
+            filter_broadcast_max=0).collect()]
+        assert fb == exact
+        batch = [(r["doc_id"], r["score"])
+                 for r in bm25_topk_served_batch(
+                     spark, small_index, [q], k=10,
+                     exclude_docs=ex).collect()]
+        assert batch == exact
+    finally:
+        small_index.unwarm()
+
+
+def test_pruned_exclusion_bitwise_equals_exact(spark, small_index):
+    from review_recommender_spark.query.bm25 import bm25_topk_pruned
+    ex = term_docs(spark, small_index, "socks")
+    q = "wireless bluetooth headphones"
+    exact = [(r["doc_id"], r["score"]) for r in bm25_topk_exact(
+        spark, small_index, q, k=10, exclude_docs=ex).collect()]
+    for fine in (True, False):
+        pruned = [(r["doc_id"], r["score"]) for r in bm25_topk_pruned(
+            spark, small_index, q, k=10, seed_ranges=2,
+            min_ranges_to_prune=1, fine_prune=fine,
+            exclude_docs=ex).collect()]
+        assert pruned == exact, fine
+
+
+def test_dsl_warm_route_bitwise(spark, pos_index, page_texts):
+    """A warm index routes dsl_search through the served kernel; results
+    must be bitwise-identical to the cold exact route."""
+    q = 'wireless +bluetooth -socks'
+    cold = [(r["doc_id"], r["score"])
+            for r in dsl_search(spark, pos_index, q, k=10).collect()]
+    pos_index.warm(spark, serving_shards=5)
+    try:
+        warm = [(r["doc_id"], r["score"])
+                for r in dsl_search(spark, pos_index, q, k=10).collect()]
+        assert warm == cold
+    finally:
+        pos_index.unwarm()
+    for d, _ in cold:
+        toks = tokenize_k1_py(page_texts[d])
+        assert "bluetooth" in toks and "socks" not in toks
+
+
 def test_empty_and_constraint_only(spark, small_index):
     assert dsl_search(spark, small_index, "", k=10).count() == 0
     # exclusion-only has no ranking text → empty by spec
