@@ -224,6 +224,24 @@ def q_ft_dsl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
+def q_ft_dsl_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search (query/facets.py): language counts over the FULL
+    boolean match set of the DSL query (≥1 ranking term, exact phrase
+    present, no excluded term) — the result-page facet panel, computed
+    from posting/position decodes + one facet-keyed groupBy. The DuckDB
+    twin recounts the match set from the retokenized documents."""
+    from review_recommender_spark.index.positions import build_positions
+    from review_recommender_spark.query.facets import (dsl_match_docs,
+                                                       facet_counts)
+    idx = _doc_index(spark, sf_dir)
+    if sf_dir not in _POSITIONS_BUILT:
+        build_positions(spark, idx.io, idx.cfg)
+        _POSITIONS_BUILT.add(sf_dir)
+    match = dsl_match_docs(spark, idx, DSL_QUERY)
+    meta = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return facet_counts(match, meta, "lang", k=50)
+
+
 CONJ_MIN_MATCH = 3
 
 
@@ -853,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_snippets": q_ft_snippets,
         "ft_bm25f_topk": q_ft_bm25f_topk,
         "ft_dsl_search": q_ft_dsl_search,
+        "ft_dsl_facets": q_ft_dsl_facets,
         "tpch_q1": q_tpch_q1,
         "top3_lineitems": q_top3_lineitems,
         "customer_order_totals": q_customer_order_totals,
@@ -1308,6 +1327,22 @@ WHERE term IN ({', '.join(repr(t) for t in PROBE_TERMS)})""",
                 f"generate_series(1, greatest(len({K1SQL}) - 1, 0)), "
                 f"i -> array_to_string(list_slice({K1SQL}, i, i + 1), ' ')"
                 f")) AS gram FROM documents) WHERE gram = 'part filter')")),
+        # facet panel over the same DSL match set: ≥1 ranking term,
+        # phrase present, no 'vector' → counts per lang
+        "ft_dsl_facets": f"""
+WITH m AS (
+  SELECT doc_id, lang FROM (SELECT doc_id, lang, {K1SQL} AS toks
+                            FROM documents)
+  WHERE len(list_filter(toks,
+            t -> t IN ('scan', 'part', 'filter'))) > 0
+    AND len(list_filter(toks, t -> t = 'vector')) = 0
+    AND doc_id IN (SELECT doc_id FROM (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len({K1SQL}) - 1, 0)),
+        i -> array_to_string(list_slice({K1SQL}, i, i + 1), ' ')
+      )) AS gram FROM documents) WHERE gram = 'part filter'))
+SELECT lang AS value, count(*)::BIGINT AS n_docs FROM m
+GROUP BY lang ORDER BY n_docs DESC, value LIMIT 50""",
         "ft_bm25_topk_filtered_served": _bm25_sql(
             BM25_QUERY, 1.2, 0.75, BM25_K, doc_where="lang = 'en'"),
         "ft_bm25_topk_served": " UNION ALL ".join(

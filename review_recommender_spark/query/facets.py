@@ -1,0 +1,61 @@
+"""Faceted search — metadata value counts over a boolean match set.
+
+The aggregation half of a search results page ("lang: en (1.2M) · es
+(40k) …"): count matching documents per metadata value, for the FULL
+match set, not just the visible top-k. Composes the DSL's match
+machinery with a plain semi-join + groupBy — all JVM, one shuffle keyed
+by the facet column, match sets bounded by the query terms' dfs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokenize_k1_py, tokenize_k2_py
+from ..index.build import InvertedIndex
+from .bm25 import term_docs
+from .parser import parse_query
+
+
+def dsl_match_docs(spark: SparkSession, index: InvertedIndex,
+                   query: str, phrase_cap: int = 1_000_000) -> DataFrame:
+    """ALL doc_ids matching a DSL query's boolean semantics (matching ≥ 1
+    ranking term, containing every required term and phrase, containing
+    no excluded term) — the set a facet panel or a result count
+    describes. Built entirely from posting/position decodes: the
+    disjunctive base is the union of the ranking terms' posting docs
+    (each bounded by its df), constraints are the same semi/anti joins
+    ``dsl_search`` uses."""
+    pq = parse_query(query)
+    base = None
+    for t in sorted(set(tokenize_k2_py(pq.ranking_text))):
+        td = term_docs(spark, index, t)
+        base = td if base is None else base.unionByName(td)
+    if base is None:
+        return spark.createDataFrame([], "doc_id long")
+    base = base.distinct()
+    for t in [tok for w in pq.required for tok in tokenize_k1_py(w)]:
+        base = base.join(term_docs(spark, index, t), "doc_id", "left_semi")
+    if pq.phrases:
+        from ..index.positions import phrase_match
+        for p in pq.phrases:
+            base = base.join(
+                phrase_match(spark, index, p, k=phrase_cap)
+                .select("doc_id"), "doc_id", "left_semi")
+    for t in [tok for w in pq.excluded for tok in tokenize_k1_py(w)]:
+        base = base.join(term_docs(spark, index, t), "doc_id", "left_anti")
+    return base
+
+
+def facet_counts(match_docs: DataFrame, meta: DataFrame, col: str,
+                 k: int = 50) -> DataFrame:
+    """(value, n_docs) for the top-``k`` values of ``meta.col`` over the
+    match set, ordered (n_docs desc, value asc). ``meta`` is any
+    DataFrame with (doc_id, col) — typically the pushed-down metadata
+    scan; the semi-join keeps only matched docs before the count."""
+    return (meta.select("doc_id", F.col(col).alias("value"))
+            .join(match_docs.select("doc_id"), "doc_id", "left_semi")
+            .groupBy("value").agg(F.count("*").alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc("value"))
+            .limit(k))

@@ -162,6 +162,42 @@ def test_dsl_warm_route_bitwise(spark, pos_index, page_texts):
         assert "bluetooth" in toks and "socks" not in toks
 
 
+def test_facets_match_retokenize(spark, pos_index, small_pages, page_texts):
+    """dsl_match_docs = the full boolean match set; facet_counts = lang
+    histogram over it — both checked against driver retokenization."""
+    from review_recommender_spark.query.facets import (dsl_match_docs,
+                                                       facet_counts)
+    q = 'wireless +bluetooth -socks'          # boolean set, no phrase
+    got_ids = {r["doc_id"]
+               for r in dsl_match_docs(spark, pos_index, q).collect()}
+    want_ids = set()
+    for d, text in page_texts.items():
+        toks = tokenize_k1_py(text)
+        # required terms rank too, so the disjunctive base is
+        # (wireless OR bluetooth); ∧ bluetooth collapses it to bluetooth
+        if "bluetooth" in toks and "socks" not in toks:
+            want_ids.add(d)
+    assert got_ids == want_ids and len(got_ids) > 10
+    # phrase-constrained match set (small by construction: 3 docs)
+    qp = 'wireless "wireless headphones"'
+    got_ph = {r["doc_id"]
+              for r in dsl_match_docs(spark, pos_index, qp).collect()}
+    want_ph = {d for d, t in page_texts.items()
+               if any(tokenize_k1_py(t)[i:i + 2]
+                      == ["wireless", "headphones"]
+                      for i in range(len(tokenize_k1_py(t)) - 1))}
+    assert got_ph == want_ph and got_ph
+    langs = {r["doc_id"]: r["lang"]
+             for r in small_pages.select("doc_id", "lang").collect()}
+    got = [(r["value"], r["n_docs"]) for r in facet_counts(
+        dsl_match_docs(spark, pos_index, q),
+        small_pages.select("doc_id", "lang"), "lang").collect()]
+    from collections import Counter
+    want = sorted(Counter(langs[d] for d in want_ids).items(),
+                  key=lambda kv: (-kv[1], kv[0]))
+    assert got == want
+
+
 def test_empty_and_constraint_only(spark, small_index):
     assert dsl_search(spark, small_index, "", k=10).count() == 0
     # exclusion-only has no ranking text → empty by spec
