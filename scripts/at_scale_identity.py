@@ -114,14 +114,40 @@ def main() -> None:
               f"{'BITWISE-IDENTICAL' if partial_ok else 'MISMATCH'}",
               flush=True)
         ok &= partial_ok
+
+        # seventh path family (round 6b): BOOLEAN constraints at scale —
+        # conjunctive (min_match=2) and exclusion (must-not a head word)
+        # through served-mask vs exact-join routes, bitwise per query.
+        from review_recommender_spark.query.bm25 import term_docs
+        idx.warm(spark)
+        bool_ok = True
+        for qi, q in enumerate(GOLDEN_PHRASES[:3]):
+            # exclude the docs containing the query's own first word —
+            # guaranteed to bite (it removes strong candidates)
+            ex = term_docs(spark, idx, q.split()[0].lower())
+            for kw in ({"min_match": 2}, {"exclude_docs": ex},
+                       {"min_match": 2, "exclude_docs": ex}):
+                e = [(r["doc_id"], r["score"]) for r in
+                     bm25_topk_exact(spark, idx, q, k=k, **kw).collect()]
+                s = [(r["doc_id"], r["score"]) for r in
+                     bm25_topk_served(spark, idx, q, k=k, **kw).collect()]
+                same = e == s
+                bool_ok &= same
+                if not same:
+                    print(f"q{qi} boolean {sorted(kw)} MISMATCH:", e, s)
+        print(f"boolean (min_match / exclude / both, 3 queries): "
+              f"{'BITWISE-IDENTICAL' if bool_ok else 'MISMATCH'}",
+              flush=True)
+        ok &= bool_ok
         print(json.dumps({
             "n_docs": n_docs,
             "paths": ["exact", "pruned", "served(block-skip)",
                       "served(no-skip)", "served_batch",
-                      "served(partial-warm)"],
+                      "served(partial-warm)", "boolean(served-vs-exact)"],
             "queries": len(GOLDEN_PHRASES),
             "bitwise_identical": sum(per_query),
             "partial_warm_ok": partial_ok,
+            "boolean_ok": bool_ok,
             "bitwise_ok": ok,
         }))
         sys.exit(0 if ok else 1)
