@@ -81,6 +81,22 @@ def main(argv: list[str] | None = None) -> int:
                          "instead of by occurrence count")
     ph.add_argument("--cores", type=int, default=None)
 
+    dq = sub.add_parser("dsl", help='search-box DSL query: free +required '
+                                    '-excluded "exact phrase" (phrases '
+                                    'need build-positions)')
+    dq.add_argument("--index", required=True)
+    dq.add_argument("-q", "--query", required=True)
+    dq.add_argument("-k", type=int, default=10)
+    dq.add_argument("--snippets", action="store_true",
+                    help="attach best-span snippets + hit offsets for the "
+                         "top-k (needs the positions table)")
+    dq.add_argument("--window", type=int, default=30)
+    dq.add_argument("--facet", default=None,
+                    help="metadata column to facet over the FULL boolean "
+                         "match set (needs --corpus)")
+    dq.add_argument("--corpus", default=None)
+    dq.add_argument("--cores", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     from .config import EngineConfig, app_profile, bm25_north, cli_profile
@@ -133,6 +149,37 @@ def main(argv: list[str] | None = None) -> int:
             out = [{"doc_id": r["doc_id"], "n_occ": int(r["n_occ"])}
                    for r in matches.collect()]
         print(json.dumps({"query": args.query, "results": out}))
+        return 0
+
+    if args.cmd == "dsl":
+        from .query.parser import dsl_search, parse_query
+        rows = dsl_search(spark, idx, args.query, k=args.k).collect()
+        out = [{"doc_id": r["doc_id"], "score": round(r["score"], 4)}
+               for r in rows]
+        payload = {"query": args.query, "results": out}
+        if args.snippets and out:
+            from .query.snippets import snippet_spans
+            ranking = parse_query(args.query).ranking_text
+            spans = {r["doc_id"]: r for r in snippet_spans(
+                spark, idx, ranking, [r["doc_id"] for r in out],
+                window=args.window).collect()}
+            for r in out:
+                sp = spans.get(r["doc_id"])
+                if sp is not None:
+                    r["snippet_start"] = int(sp["snippet_start"])
+                    r["hit_pos"] = sp["hit_pos"]
+        if args.facet:
+            if not args.corpus:
+                print("--facet needs --corpus for the metadata scan",
+                      file=sys.stderr)
+                return 2
+            from .query.facets import dsl_match_docs, facet_counts
+            meta = load_corpus(args.corpus).select("doc_id", args.facet)
+            payload["facets"] = {
+                r["value"]: int(r["n_docs"]) for r in facet_counts(
+                    dsl_match_docs(spark, idx, args.query), meta,
+                    args.facet).collect()}
+        print(json.dumps(payload))
         return 0
 
     if args.cmd == "delta-merge":

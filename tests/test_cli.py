@@ -58,3 +58,25 @@ def test_cli_positions_and_phrase(spark, tmp_path, capsys):
     # so check against a full re-match instead when truncated)
     if len(res["results"]) < 5:
         assert {r["doc_id"] for r in res2["results"]} <= phrase_docs
+
+
+def test_cli_dsl(spark, tmp_path, capsys):
+    idx = str(tmp_path / "cli_dsl_idx")
+    assert cli_main(["build", "--corpus", "synth:300",
+                     "--index", idx]) == 0
+    capsys.readouterr()
+    assert cli_main(["build-positions", "--index", idx]) == 0
+    capsys.readouterr()
+    assert cli_main(["dsl", "--index", idx,
+                     "-q", 'wireless +bluetooth -socks',
+                     "-k", "5", "--snippets", "--window", "12",
+                     "--facet", "lang", "--corpus", "synth:300"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["results"]
+    for r in res["results"]:
+        assert "snippet_start" in r and "hit_pos" in r
+    assert res["facets"] and sum(res["facets"].values()) >= len(
+        res["results"])
+    # facet needs a corpus
+    assert cli_main(["dsl", "--index", idx, "-q", "wireless",
+                     "--facet", "lang"]) == 2
