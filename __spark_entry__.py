@@ -354,6 +354,114 @@ def q_ft_bm25_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 4).alias("score"))
 
 
+# ----------------------------------------------------- expansion entries
+# query/expand.py — the Lucene-rewrite layer: prefix / fuzzy patterns
+# expand against the index VOCABULARY (term-sorted dictionary scan,
+# never a postings or corpus scan) into bounded term lists that rank
+# through the unchanged BM25 paths.
+PREFIX_PAT = "s"
+PREFIX_CAP = 4          # < the matching vocab size → exercises the
+                        # df-top rewrite bound, not just the filter
+FUZZY_WORD = "spart"    # Levenshtein-1 of both 'spark' and 'part'
+MLT_DOC_ID = 42
+MLT_MAX_TERMS = 8
+DSL_WILD_QUERY = "join merg~ +s* -dup"
+# static per-doc boost (function-score): deterministic, derived from the
+# table itself so the DuckDB twin recomputes it exactly
+BOOST_SQL = "0.5 + (doc_id % 5) * 0.25"
+_DICT_BUILT: set[str] = set()
+
+
+def _dict_index(spark: SparkSession, sf_dir: str):
+    from review_recommender_spark.query.expand import build_term_dictionary
+    idx = _doc_index(spark, sf_dir)
+    if sf_dir not in _DICT_BUILT:
+        build_term_dictionary(spark, idx)
+        _DICT_BUILT.add(sf_dir)
+    return idx
+
+
+def q_ft_prefix_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'s*' → the top-``PREFIX_CAP`` vocabulary completions by (df DESC,
+    term ASC) — Lucene's TOP_TERMS prefix rewrite over the term-sorted
+    dictionary (range predicate → parquet min/max file skipping). The
+    rewrite order is part of the contract, so it is materialized as a
+    rank column; the DuckDB twin recomputes df from retokenization."""
+    from review_recommender_spark.query.expand import prefix_terms
+    idx = _dict_index(spark, sf_dir)
+    terms = prefix_terms(spark, idx, PREFIX_PAT, max_terms=PREFIX_CAP)
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    return terms.withColumn("rank", F.row_number().over(w)) \
+        .select("rank", "term", "df")
+
+
+def q_ft_fuzzy_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'spart~' → vocabulary terms within Levenshtein 1, ordered
+    (distance ASC, df DESC, term ASC) — the fuzzy rewrite. Length
+    pre-prune + JVM levenshtein on the dictionary scan; DuckDB twin uses
+    its own levenshtein over the retokenized vocabulary."""
+    from review_recommender_spark.query.expand import fuzzy_terms
+    idx = _dict_index(spark, sf_dir)
+    terms = fuzzy_terms(spark, idx, FUZZY_WORD, max_dist=1, max_terms=8)
+    w = Window.orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+    return terms.withColumn("rank", F.row_number().over(w)) \
+        .select("rank", "term", F.col("dist").cast("long").alias("dist"))
+
+
+def q_ft_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this: point-read doc 42's text (pushed-down equality
+    predicate), select its top-8 terms by tf·idf (the engine's exact
+    ε-fixup idf), rank them as a verbatim term sequence through exact
+    BM25 with the source doc excluded before top-k — Lucene MoreLikeThis
+    re-expressed on the DataFrame paths (query/expand.py)."""
+    from review_recommender_spark.query.expand import more_like_this_doc
+    idx = _doc_index(spark, sf_dir)
+    docs = _load(spark, sf_dir, "documents")
+    res = more_like_this_doc(spark, idx, docs, MLT_DOC_ID,
+                             max_terms=MLT_MAX_TERMS, k=BM25_K)
+    return (res.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
+def q_ft_dsl_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSL with expansion: 'join merg~ +s* -dup' — the s-prefix
+    expansions and the 'merg' fuzzy neighbours join the scoring sequence
+    (df-top / distance order, duplicates accumulate qtf), '+s*' is an OR
+    constraint (doc must contain ANY expansion), '-dup' an anti-join.
+    The DuckDB twin rebuilds the same expansion lists from retokenized
+    df and scores the merged term multiset."""
+    from review_recommender_spark.query.parser import dsl_search
+    idx = _dict_index(spark, sf_dir)
+    res = dsl_search(spark, idx, DSL_WILD_QUERY, k=BM25_K)
+    return (res.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
+def q_ft_dsl_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-hits count ('about N results') for the wildcard DSL query:
+    one row counting the FULL boolean match set — posting decodes
+    bounded by the query terms' dfs, one global count, never a corpus
+    scan (query/facets.py::dsl_match_count)."""
+    from review_recommender_spark.query.facets import dsl_match_count
+    idx = _dict_index(spark, sf_dir)
+    return dsl_match_count(spark, idx, DSL_WILD_QUERY)
+
+
+def q_ft_bm25_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-score retrieval: BM25 × a static per-doc boost column
+    (recency/quality-prior shape), applied after the fold and BEFORE
+    top-k so the boost genuinely reorders the ranking
+    (query/bm25.py::_topk boost_docs). Boost derives deterministically
+    from doc_id so the DuckDB twin multiplies the same factor."""
+    idx = _doc_index(spark, sf_dir)
+    docs = _load(spark, sf_dir, "documents")
+    boost = docs.select("doc_id", F.expr(BOOST_SQL).alias("boost"))
+    res = bm25_topk_exact(spark, idx, BM25_QUERY, k=BM25_K,
+                          boost_docs=boost)
+    return (res.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
 # ------------------------------------------------------ relational entries
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,6 +980,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25f_topk": q_ft_bm25f_topk,
         "ft_dsl_search": q_ft_dsl_search,
         "ft_dsl_facets": q_ft_dsl_facets,
+        "ft_prefix_expand": q_ft_prefix_expand,
+        "ft_fuzzy_expand": q_ft_fuzzy_expand,
+        "ft_mlt_topk": q_ft_mlt_topk,
+        "ft_dsl_wildcard": q_ft_dsl_wildcard,
+        "ft_dsl_match_count": q_ft_dsl_match_count,
+        "ft_bm25_boosted": q_ft_bm25_boosted,
         "tpch_q1": q_tpch_q1,
         "top3_lineitems": q_top3_lineitems,
         "customer_order_totals": q_customer_order_totals,
@@ -936,19 +1050,23 @@ idf AS (SELECT term, df,
 
 def _bm25_sql(query: str, k1: float, b: float, k: int,
               doc_where: str | None = None,
-              min_match: int | None = None) -> str:
+              min_match: int | None = None,
+              boost_expr: str | None = None) -> str:
     """``doc_where`` (optional SQL predicate over the documents table):
     filtered retrieval — scores are restricted to matching docs BEFORE
     the LIMIT, mirroring the engine's before-top-k filter contract.
     ``min_match``: minimum-should-match — a HAVING over the per-doc
     distinct matched-term count, the SQL twin of the engine's
-    before-top-k conjunctive constraint."""
+    before-top-k conjunctive constraint. ``boost_expr`` (optional SQL
+    expression over doc_id): static per-doc score multiplier applied
+    after the fold, before top-k — the engine's boost_docs contract."""
     qtf = Counter(tokenize_k2_py(query))
     vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
     flt = (f"WHERE doc_id IN (SELECT doc_id FROM documents "
            f"WHERE {doc_where}) " if doc_where else "")
     having = (f"HAVING count(DISTINCT tfc.term) >= {min_match}"
               if min_match is not None and min_match > 1 else "")
+    sexpr = f"s * ({boost_expr})" if boost_expr else "s"
     return f"""{_FT_BASE},
 q(term, qtf) AS (VALUES {vals}),
 scores AS (
@@ -959,8 +1077,8 @@ scores AS (
   FROM q JOIN idf USING (term) JOIN tfc USING (term)
          JOIN doclen ON tfc.doc_id = doclen.doc_id
   GROUP BY tfc.doc_id {having})
-SELECT doc_id, round(s, 4) AS score FROM scores {flt}
-ORDER BY s DESC, doc_id LIMIT {k}"""
+SELECT doc_id, round({sexpr}, 4) AS score FROM scores {flt}
+ORDER BY {sexpr} DESC, doc_id LIMIT {k}"""
 
 
 def _phrase_sql(phrase: str, k: int) -> str:
@@ -1343,6 +1461,82 @@ WITH m AS (
       )) AS gram FROM documents) WHERE gram = 'part filter'))
 SELECT lang AS value, count(*)::BIGINT AS n_docs FROM m
 GROUP BY lang ORDER BY n_docs DESC, value LIMIT 50""",
+        # 's*' prefix rewrite: df-top completions from the retokenized
+        # vocabulary, rewrite order materialized as rank
+        "ft_prefix_expand": _FT_BASE + f"""
+SELECT row_number() OVER (ORDER BY df DESC, term) AS rank, term, df
+FROM dfc WHERE term LIKE '{PREFIX_PAT}%'
+ORDER BY df DESC, term LIMIT {PREFIX_CAP}""",
+        # 'spart~' fuzzy rewrite: Levenshtein-1 vocabulary neighbours,
+        # (distance, df DESC, term) order
+        "ft_fuzzy_expand": _FT_BASE + f"""
+SELECT row_number() OVER (ORDER BY levenshtein(term, '{FUZZY_WORD}'),
+                          df DESC, term) AS rank,
+       term, levenshtein(term, '{FUZZY_WORD}')::BIGINT AS dist
+FROM dfc WHERE levenshtein(term, '{FUZZY_WORD}') <= 1
+ORDER BY dist, df DESC, term LIMIT 8""",
+        # more-like-this: doc 42's top-8 terms by tf·idf (engine idf,
+        # ε-fixup included), each ranking once, source doc excluded
+        "ft_mlt_topk": _FT_BASE + f""",
+stf AS (SELECT term, count(*) AS tf FROM tf
+        WHERE doc_id = {MLT_DOC_ID} GROUP BY term),
+mlt AS (SELECT stf.term FROM stf JOIN idf USING (term)
+        ORDER BY stf.tf * idf.idf DESC, stf.term LIMIT {MLT_MAX_TERMS}),
+scores AS (
+  SELECT tfc.doc_id,
+         sum(idf.idf * tfc.tf * (1.2 + 1)
+             / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * doclen.dl
+                                / (SELECT avgdl FROM stats)))) AS s
+  FROM mlt JOIN idf USING (term) JOIN tfc USING (term)
+           JOIN doclen ON tfc.doc_id = doclen.doc_id
+  WHERE tfc.doc_id <> {MLT_DOC_ID}
+  GROUP BY tfc.doc_id)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY s DESC, doc_id LIMIT {BM25_K}""",
+        # DSL 'join merg~ +s* -dup': expansions join the scoring
+        # multiset; '+s*' = must contain ANY s-expansion, '-dup' = must
+        # not contain 'dup'
+        "ft_dsl_wildcard": _FT_BASE + f""",
+exp AS (SELECT term FROM dfc WHERE term LIKE 's%'
+        ORDER BY df DESC, term LIMIT 32),
+fz AS (SELECT term FROM dfc WHERE levenshtein(term, 'merg') <= 1
+       ORDER BY levenshtein(term, 'merg'), df DESC, term LIMIT 8),
+q AS (SELECT term, count(*)::BIGINT AS qtf FROM (
+        SELECT 'join' AS term UNION ALL
+        SELECT term FROM exp UNION ALL
+        SELECT term FROM fz) u GROUP BY term),
+scores AS (
+  SELECT tfc.doc_id,
+         sum(idf.idf * q.qtf * tfc.tf * (1.2 + 1)
+             / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * doclen.dl
+                                / (SELECT avgdl FROM stats)))) AS s
+  FROM q JOIN idf USING (term) JOIN tfc USING (term)
+         JOIN doclen ON tfc.doc_id = doclen.doc_id
+  GROUP BY tfc.doc_id)
+SELECT doc_id, round(s, 4) AS score FROM scores
+WHERE doc_id IN (SELECT DISTINCT tfc.doc_id FROM tfc JOIN exp USING (term))
+  AND doc_id NOT IN (SELECT doc_id FROM tfc WHERE term = 'dup')
+ORDER BY s DESC, doc_id LIMIT {BM25_K}""",
+        # total-hits count over the same wildcard query's boolean match
+        # set: any ranking term AND any s-expansion AND NOT 'dup'
+        "ft_dsl_match_count": _FT_BASE + """,
+exp AS (SELECT term FROM dfc WHERE term LIKE 's%'
+        ORDER BY df DESC, term LIMIT 32),
+fz AS (SELECT term FROM dfc WHERE levenshtein(term, 'merg') <= 1
+       ORDER BY levenshtein(term, 'merg'), df DESC, term LIMIT 8),
+qt AS (SELECT DISTINCT term FROM (
+         SELECT 'join' AS term UNION ALL
+         SELECT term FROM exp UNION ALL
+         SELECT term FROM fz) u),
+m AS (SELECT DISTINCT tfc.doc_id FROM tfc JOIN qt USING (term)
+      WHERE tfc.doc_id IN (SELECT DISTINCT tfc.doc_id
+                           FROM tfc JOIN exp USING (term))
+        AND tfc.doc_id NOT IN (SELECT doc_id FROM tfc
+                               WHERE term = 'dup'))
+SELECT count(*)::BIGINT AS n_hits FROM m""",
+        # function-score: BM25 × (0.5 + doc_id%5 · 0.25) before top-k
+        "ft_bm25_boosted": _bm25_sql(BM25_QUERY, 1.2, 0.75, BM25_K,
+                                     boost_expr=BOOST_SQL),
         "ft_bm25_topk_filtered_served": _bm25_sql(
             BM25_QUERY, 1.2, 0.75, BM25_K, doc_where="lang = 'en'"),
         "ft_bm25_topk_served": " UNION ALL ".join(

@@ -48,9 +48,26 @@ from ..index.codec import decode_block
 
 RESULT_SCHEMA = "doc_id long, score double"
 
+# Every public query entry point accepts QueryLike: a search string (run
+# through the K2 query tokenizer, the reference's asymmetric-stoplist
+# path) OR an already-normalized INDEX-term sequence (list/tuple of K1
+# terms, scored verbatim in the given order — the primitive the
+# expansion layer builds on: prefix/fuzzy-expanded and more-like-this
+# queries produce derived term lists that must NOT round-trip through
+# the K2 stoplist, query/expand.py).
+QueryLike = "str | list[str] | tuple[str, ...]"
 
-def _qtf(query: str) -> dict[str, int]:
-    return dict(Counter(tokenize_k2_py(query)))
+
+def _tokens(query) -> list[str]:
+    """QueryLike → the scoring token sequence (order preserved —
+    ``_fold_scores`` is order-sensitive by spec)."""
+    if isinstance(query, str):
+        return tokenize_k2_py(query)
+    return list(query)
+
+
+def _qtf(query) -> dict[str, int]:
+    return dict(Counter(_tokens(query)))
 
 
 def _resolve_min_match(token_seq: list[str],
@@ -220,9 +237,25 @@ def _score_weighted_blocks(joined: DataFrame, index: InvertedIndex,
 
 
 def _topk(partials: DataFrame, token_seq: list[str], k: int,
-          min_match: int = 1) -> DataFrame:
-    return (_fold_scores(partials, token_seq, ["doc_id"],
-                         min_match=min_match)
+          min_match: int = 1,
+          boost_docs: DataFrame | None = None) -> DataFrame:
+    scored = _fold_scores(partials, token_seq, ["doc_id"],
+                          min_match=min_match)
+    if boost_docs is not None:
+        # static per-doc score multiplier (function-score / Lucene doc
+        # boost): applied AFTER the fold, BEFORE top-k selection, so the
+        # boost reorders the ranking, missing docs boost 1.0. The left
+        # side is the candidate set (bounded by the query terms' dfs),
+        # the right a column-pruned (doc_id, boost) scan — a plain hash
+        # join, no corpus materialization.
+        scored = (scored
+                  .join(boost_docs.select("doc_id", "boost"),
+                        "doc_id", "left")
+                  .select("doc_id",
+                          (F.col("score")
+                           * F.coalesce(F.col("boost"), F.lit(1.0)))
+                          .alias("score")))
+    return (scored
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k))
 
@@ -375,11 +408,12 @@ def term_docs(spark: SparkSession, index: InvertedIndex,
     return blocks.mapInPandas(explode, schema="doc_id long")
 
 
-def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query: str,
+def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query,
                     k: int = 10, stats: dict | None = None,
                     filter_docs: DataFrame | None = None,
                     min_match: int | str | None = None,
-                    exclude_docs: DataFrame | None = None) -> DataFrame:
+                    exclude_docs: DataFrame | None = None,
+                    boost_docs: DataFrame | None = None) -> DataFrame:
     """Exact BM25 top-k in one action. ``filter_docs`` (optional DataFrame
     with a ``doc_id`` column) restricts ranking to those documents —
     applied BEFORE top-k selection (see ``_apply_doc_filter``), so the
@@ -392,11 +426,15 @@ def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query: str,
     composes with it; scores are untouched.
 
     ``exclude_docs``: must-NOT filter (see ``_apply_doc_exclude``) —
-    composes with both of the above."""
+    composes with both of the above.
+
+    ``boost_docs`` (optional DataFrame with (doc_id, boost)): static
+    per-doc score multiplier applied after the fold, before top-k (see
+    ``_topk``) — function-score ranking (recency, quality priors)."""
     qtf = _qtf(query)
     if not qtf:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    token_seq = tokenize_k2_py(query)
+    token_seq = _tokens(query)
     w = weights_df(spark, index, [query]).drop("query_id")
     blocks = _query_blocks(spark, index, sorted(qtf))
     joined = blocks.join(F.broadcast(w), "term")
@@ -406,7 +444,8 @@ def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query: str,
     partials = _apply_doc_exclude(_apply_doc_filter(partials, filter_docs),
                                   exclude_docs)
     return _topk(partials, token_seq, k,
-                 min_match=_resolve_min_match(token_seq, min_match))
+                 min_match=_resolve_min_match(token_seq, min_match),
+                 boost_docs=boost_docs)
 
 
 def _served_local_topk(token_seqs: list[list[str]], idf_map: dict,
@@ -640,7 +679,7 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
     idf = query_term_idf(spark, index, query)
     if not idf:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    token_seq = tokenize_k2_py(query)
+    token_seq = _tokens(query)
     mm = _resolve_min_match(token_seq, min_match)
     allowed, too_big = _collect_filter_ids(filter_docs,
                                            filter_broadcast_max)
@@ -719,9 +758,9 @@ def bm25_topk_served_batch(spark: SparkSession, index: InvertedIndex,
     for q in queries:
         idf = query_term_idf(spark, index, q)
         idf_map.update(idf)
-        seq = tokenize_k2_py(q) if idf else []
+        seq = _tokens(q) if idf else []
         token_seqs.append(seq)
-        min_matches.append(_resolve_min_match(tokenize_k2_py(q), min_match)
+        min_matches.append(_resolve_min_match(_tokens(q), min_match)
                            if idf else 1)
     known = sorted(idf_map)
     if not known:
@@ -874,7 +913,7 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
     if not idf:
         return spark.createDataFrame([], RESULT_SCHEMA)
     qtf = _qtf(query)
-    token_seq = tokenize_k2_py(query)
+    token_seq = _tokens(query)
     mm = _resolve_min_match(token_seq, min_match)
     # bounds use the FULL per-term weight (idf·qtf: a term's maximum total
     # contribution incl. query multiplicity); scoring uses single-idf

@@ -27,9 +27,11 @@ def dsl_match_docs(spark: SparkSession, index: InvertedIndex,
     disjunctive base is the union of the ranking terms' posting docs
     (each bounded by its df), constraints are the same semi/anti joins
     ``dsl_search`` uses."""
+    from .expand import expand_prefix
+    from .parser import ranking_tokens
     pq = parse_query(query)
     base = None
-    for t in sorted(set(tokenize_k2_py(pq.ranking_text))):
+    for t in sorted(set(ranking_tokens(spark, index, pq))):
         td = term_docs(spark, index, t)
         base = td if base is None else base.unionByName(td)
     if base is None:
@@ -37,15 +39,36 @@ def dsl_match_docs(spark: SparkSession, index: InvertedIndex,
     base = base.distinct()
     for t in [tok for w in pq.required for tok in tokenize_k1_py(w)]:
         base = base.join(term_docs(spark, index, t), "doc_id", "left_semi")
+    for p in pq.required_wildcards:
+        grp = None
+        for t in expand_prefix(spark, index, p):
+            td = term_docs(spark, index, t)
+            grp = td if grp is None else grp.unionByName(td)
+        if grp is None:
+            return spark.createDataFrame([], "doc_id long")
+        base = base.join(grp.distinct(), "doc_id", "left_semi")
     if pq.phrases:
         from ..index.positions import phrase_match
         for p in pq.phrases:
             base = base.join(
                 phrase_match(spark, index, p, k=phrase_cap)
                 .select("doc_id"), "doc_id", "left_semi")
-    for t in [tok for w in pq.excluded for tok in tokenize_k1_py(w)]:
+    for t in [tok for w in pq.excluded for tok in tokenize_k1_py(w)] \
+            + [t for p in pq.excluded_wildcards
+               for t in expand_prefix(spark, index, p)]:
         base = base.join(term_docs(spark, index, t), "doc_id", "left_anti")
     return base
+
+
+def dsl_match_count(spark: SparkSession, index: InvertedIndex,
+                    query: str, phrase_cap: int = 1_000_000) -> DataFrame:
+    """Total-hits count for a DSL query ("about N results"): one row
+    (n_hits bigint) counting the FULL boolean match set — the number a
+    result page's header and its pagination are driven by. Same cost
+    shape as a facet panel: posting/position decodes bounded by the
+    query terms' dfs, one global count — never a corpus scan."""
+    return (dsl_match_docs(spark, index, query, phrase_cap=phrase_cap)
+            .agg(F.count("*").alias("n_hits")))
 
 
 def facet_counts(match_docs: DataFrame, meta: DataFrame, col: str,

@@ -7,6 +7,12 @@ Grammar (the Lucene/web-search-box subset every full-text engine ships):
     -term               MUST NOT contain the term
     "quoted phrase"     MUST contain the exact consecutive phrase
                         (positions table required; its words rank too)
+    term*               PREFIX wildcard — expands against the index
+                        vocabulary (query/expand.py, df-top rewrite) and
+                        the expansions rank; +term* requires ANY
+                        expansion (OR constraint), -term* excludes ALL
+    term~               FUZZY — Levenshtein-1 vocabulary neighbours
+                        rank (free position only)
 
 Everything compiles onto engine primitives already gated elsewhere —
 this module adds NO new scoring or matching semantics:
@@ -44,34 +50,97 @@ class ParsedQuery:
     required: list[str] = field(default_factory=list)
     excluded: list[str] = field(default_factory=list)
     phrases: list[str] = field(default_factory=list)
+    # expansion positions (query/expand.py): prefixes stripped of their
+    # trailing '*', fuzzy words stripped of '~' — all pre-normalized to
+    # single index-token shape (see _pattern_word)
+    wildcards: list[str] = field(default_factory=list)
+    required_wildcards: list[str] = field(default_factory=list)
+    excluded_wildcards: list[str] = field(default_factory=list)
+    fuzzies: list[str] = field(default_factory=list)
 
     @property
     def ranking_text(self) -> str:
-        """What gets BM25-ranked: free + required + phrase words, in
-        query order (the fold is order-sensitive, so this IS the spec)."""
+        """What gets BM25-ranked BEFORE expansion: free + required +
+        phrase words, in query order (the fold is order-sensitive, so
+        this IS the spec). Expansion terms are appended by
+        ``ranking_tokens`` — they bypass the K2 stoplist (they are
+        already index terms)."""
         return " ".join(self.free + self.required
                         + [w for p in self.phrases for w in p.split()])
+
+
+def _pattern_word(word: str, free: list[str]) -> str | None:
+    """Normalize a wildcard/fuzzy stem the way the index normalized its
+    terms (lowercase, token alphabet): the LAST regex token is the
+    pattern; any leading tokens ("wi-fi*") fall back to plain free
+    terms. No stoplist — a pattern is not a term ("th*" is legal)."""
+    from ..functions.tokenize import TOKEN_RE
+    toks = TOKEN_RE.findall((word or "").lower())
+    if not toks:
+        return None
+    free.extend(toks[:-1])
+    return toks[-1]
 
 
 def parse_query(s: str) -> ParsedQuery:
     """Split a search-box string into DSL parts. Quoted spans are
     extracted first (a '+'/'-' inside quotes is literal text); remaining
-    whitespace-split tokens route on their leading sigil. A bare '+'/'-'
-    or an empty quote is dropped."""
+    whitespace-split tokens route on their leading sigil, then on a
+    trailing '*' (prefix wildcard) or '~' (fuzzy — free position only;
+    a sigiled '~' is treated as the literal word). A bare '+'/'-' or an
+    empty quote is dropped."""
     phrases = [p.strip() for p in _PHRASE_RE.findall(s) if p.strip()]
     rest = _PHRASE_RE.sub(" ", s)
     free, required, excluded = [], [], []
+    wild, req_wild, exc_wild, fuzz = [], [], [], []
     for tok in rest.split():
-        if tok.startswith("+"):
-            if tok[1:]:
-                required.append(tok[1:])
-        elif tok.startswith("-"):
-            if tok[1:]:
-                excluded.append(tok[1:])
+        sigil, body = "", tok
+        if tok[0] in "+-":
+            sigil, body = tok[0], tok[1:]
+        if not body:
+            continue
+        if body.endswith("*") and len(body) > 1:
+            p = _pattern_word(body[:-1],
+                              free if sigil == "" else
+                              required if sigil == "+" else excluded)
+            if p is not None:
+                (wild if sigil == "" else
+                 req_wild if sigil == "+" else exc_wild).append(p)
+        elif body.endswith("~") and len(body) > 1 and sigil == "":
+            p = _pattern_word(body[:-1], free)
+            if p is not None:
+                fuzz.append(p)
+        elif sigil == "+":
+            required.append(body)
+        elif sigil == "-":
+            excluded.append(body)
         else:
-            free.append(tok)
+            free.append(body)
     return ParsedQuery(free=free, required=required, excluded=excluded,
-                       phrases=phrases)
+                       phrases=phrases, wildcards=wild,
+                       required_wildcards=req_wild,
+                       excluded_wildcards=exc_wild, fuzzies=fuzz)
+
+
+def ranking_tokens(spark: SparkSession, index: InvertedIndex,
+                   pq: ParsedQuery,
+                   wildcard_max: int = 32,
+                   fuzzy_max: int = 8) -> list[str]:
+    """The FINAL scoring token sequence: the K2-tokenized base ranking
+    text, then expansion groups appended in a fixed documented order —
+    free wildcards, required wildcards, fuzzies, each group's terms in
+    expansion order (df-top / distance order, query/expand.py).
+    Duplicates are kept (a term expanded twice scores twice — the fold
+    is a token-sequence spec, and the DuckDB twin mirrors it by
+    summing qtf per term)."""
+    from ..functions.tokenize import tokenize_k2_py
+    from .expand import expand_fuzzy, expand_prefix
+    toks = tokenize_k2_py(pq.ranking_text) if pq.ranking_text else []
+    for p in pq.wildcards + pq.required_wildcards:
+        toks += expand_prefix(spark, index, p, max_terms=wildcard_max)
+    for w in pq.fuzzies:
+        toks += expand_fuzzy(spark, index, w, max_terms=fuzzy_max)
+    return toks
 
 
 def dsl_search(spark: SparkSession, index: InvertedIndex, query: str,
@@ -85,17 +154,29 @@ def dsl_search(spark: SparkSession, index: InvertedIndex, query: str,
     docs are carried into the semi-join (top by occurrence count — a
     phrase matching more docs than this is effectively a ranking term)."""
     pq = parse_query(query)
-    ranking = pq.ranking_text
+    ranking = ranking_tokens(spark, index, pq)
     if not ranking:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
     from ..functions.tokenize import tokenize_k1_py
+    from .expand import expand_prefix
     fd = filter_docs.select("doc_id") if filter_docs is not None else None
     # a sigiled word normalizes through the INDEX tokenizer ("+Wi-Fi" →
     # required tokens ['wi', 'fi']) so constraints match what was indexed
     for t in [tok for w in pq.required for tok in tokenize_k1_py(w)]:
         td = term_docs(spark, index, t)
         fd = td if fd is None else fd.join(td, "doc_id", "left_semi")
+    # '+term*' is an OR constraint: the doc must contain ANY expansion —
+    # the union is bounded by the expansions' summed dfs
+    for p in pq.required_wildcards:
+        grp = None
+        for t in expand_prefix(spark, index, p):
+            td = term_docs(spark, index, t)
+            grp = td if grp is None else grp.unionByName(td)
+        if grp is None:            # no vocabulary term matches → ∅
+            return spark.createDataFrame([], RESULT_SCHEMA)
+        grp = grp.distinct()
+        fd = grp if fd is None else fd.join(grp, "doc_id", "left_semi")
     if pq.phrases:
         from ..index.positions import phrase_match
         for p in pq.phrases:
@@ -104,7 +185,9 @@ def dsl_search(spark: SparkSession, index: InvertedIndex, query: str,
             fd = pd_ if fd is None else fd.join(pd_, "doc_id", "left_semi")
 
     ex = None
-    for t in [tok for w in pq.excluded for tok in tokenize_k1_py(w)]:
+    for t in [tok for w in pq.excluded for tok in tokenize_k1_py(w)] \
+            + [t for p in pq.excluded_wildcards
+               for t in expand_prefix(spark, index, p)]:
         td = term_docs(spark, index, t)
         ex = td if ex is None else ex.unionByName(td)
 
