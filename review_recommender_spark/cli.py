@@ -95,7 +95,38 @@ def main(argv: list[str] | None = None) -> int:
                     help="metadata column to facet over the FULL boolean "
                          "match set (needs --corpus)")
     dq.add_argument("--corpus", default=None)
+    dq.add_argument("--count", action="store_true",
+                    help="also report the total boolean match count "
+                         "('about N results')")
     dq.add_argument("--cores", type=int, default=None)
+
+    bd = sub.add_parser("build-dictionary",
+                        help="materialize the term-sorted dictionary "
+                             "(prefix/fuzzy expansion gets parquet "
+                             "min/max file skipping)")
+    bd.add_argument("--index", required=True)
+    bd.add_argument("--cores", type=int, default=None)
+
+    sg = sub.add_parser("suggest", help="prefix autocomplete: df-top "
+                                        "vocabulary completions")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("-p", "--prefix", required=True)
+    sg.add_argument("-n", type=int, default=8)
+    sg.add_argument("--fuzzy", action="store_true",
+                    help="treat the pattern as a fuzzy word "
+                         "(Levenshtein-1 neighbours) instead of a prefix")
+    sg.add_argument("--cores", type=int, default=None)
+
+    ml = sub.add_parser("mlt", help="more-like-this: rank docs similar "
+                                    "to a source doc's text")
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--corpus", required=True)
+    ml.add_argument("--doc", type=int, required=True,
+                    help="source doc_id (excluded from results)")
+    ml.add_argument("--terms", type=int, default=16,
+                    help="max interesting terms (tf·idf-top)")
+    ml.add_argument("-k", type=int, default=10)
+    ml.add_argument("--cores", type=int, default=None)
 
     args = ap.parse_args(argv)
 
@@ -179,7 +210,42 @@ def main(argv: list[str] | None = None) -> int:
                 r["value"]: int(r["n_docs"]) for r in facet_counts(
                     dsl_match_docs(spark, idx, args.query), meta,
                     args.facet).collect()}
+        if args.count:
+            from .query.facets import dsl_match_count
+            payload["n_hits"] = int(
+                dsl_match_count(spark, idx, args.query)
+                .collect()[0]["n_hits"])
         print(json.dumps(payload))
+        return 0
+
+    if args.cmd == "build-dictionary":
+        from .query.expand import TERM_DICT, build_term_dictionary
+        build_term_dictionary(spark, idx)
+        n = idx.io.read(spark, TERM_DICT).count()
+        print(json.dumps({"terms": int(n)}))
+        return 0
+
+    if args.cmd == "suggest":
+        from .query.expand import expand_fuzzy, expand_prefix
+        terms = (expand_fuzzy(spark, idx, args.prefix, max_terms=args.n)
+                 if args.fuzzy else
+                 expand_prefix(spark, idx, args.prefix, max_terms=args.n))
+        print(json.dumps({"pattern": args.prefix, "terms": terms}))
+        return 0
+
+    if args.cmd == "mlt":
+        from .query.expand import mlt_terms, more_like_this_doc
+        docs = load_corpus(args.corpus)
+        rows = more_like_this_doc(spark, idx, docs, args.doc,
+                                  max_terms=args.terms, k=args.k).collect()
+        src = docs.filter(F.col("doc_id") == args.doc) \
+            .select("text").limit(1).collect()
+        terms = (mlt_terms(spark, idx, src[0]["text"] or "",
+                           max_terms=args.terms) if src else [])
+        print(json.dumps({
+            "doc": args.doc, "terms": terms,
+            "results": [{"doc_id": r["doc_id"],
+                         "score": round(r["score"], 4)} for r in rows]}))
         return 0
 
     if args.cmd == "delta-merge":

@@ -80,3 +80,30 @@ def test_cli_dsl(spark, tmp_path, capsys):
     # facet needs a corpus
     assert cli_main(["dsl", "--index", idx, "-q", "wireless",
                      "--facet", "lang"]) == 2
+
+
+def test_cli_expansion_surface(spark, tmp_path, capsys):
+    idx = str(tmp_path / "cli_exp_idx")
+    assert cli_main(["build", "--corpus", "synth:300",
+                     "--index", idx]) == 0
+    capsys.readouterr()
+    assert cli_main(["build-dictionary", "--index", idx]) == 0
+    assert json.loads(capsys.readouterr().out.strip()
+                      .splitlines()[-1])["terms"] > 0
+    assert cli_main(["suggest", "--index", idx, "-p", "blu"]) == 0
+    sug = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "bluetooth" in sug["terms"]
+    assert cli_main(["suggest", "--index", idx, "-p", "sockz",
+                     "--fuzzy"]) == 0
+    fz = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "socks" in fz["terms"]
+    assert cli_main(["mlt", "--index", idx, "--corpus", "synth:300",
+                     "--doc", "7", "-k", "5"]) == 0
+    mlt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert mlt["terms"] and mlt["results"]
+    assert all(r["doc_id"] != 7 for r in mlt["results"])
+    # wildcard DSL + total-hits count through the CLI
+    assert cli_main(["dsl", "--index", idx, "-q", "wireless +blu*",
+                     "-k", "5", "--count"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["results"] and res["n_hits"] >= len(res["results"])
