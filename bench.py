@@ -42,7 +42,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
     phases = os.environ.get("SPARK_GRAFT_BENCH_PHASES",
-                            "build,bm25,hybrid,sf,bursty,positions"
+                            "build,bm25,hybrid,sf,bursty,positions,expand"
                             ).split(",")
 
     from review_recommender_spark.config import EngineConfig, bm25_north
@@ -462,6 +462,63 @@ def main() -> None:
                 lat_s.append(time.perf_counter() - t0)
             extra["snippet_warm_p50_sec"] = round(
                 float(np.percentile(lat_s, 50)), 3)
+            idx.unwarm()
+
+        if "expand" in phases and idx is not None:
+            # query-expansion serving (query/expand.py): the dictionary
+            # build is ONE vocab-sized range-sort; prefix/fuzzy rewrites
+            # are bounded dictionary scans (prefix range-prunes parquet
+            # files via min/max stats); MLT is a point-read + top-m +
+            # a max_terms-word exact query; DSL wildcards rank their
+            # expansions through the warm zero-shuffle served kernel.
+            from review_recommender_spark.query.expand import (
+                build_term_dictionary, expand_fuzzy, expand_prefix,
+                more_like_this_doc)
+            from review_recommender_spark.query.parser import dsl_search
+            t0 = time.perf_counter()
+            build_term_dictionary(spark, idx)
+            timings["dict_build"] = round(time.perf_counter() - t0, 3)
+            expand_prefix(spark, idx, "wi")  # JIT
+            lat = []
+            for p in ["wire", "blu", "wat", "org", "lea", "hea", "s"]:
+                t0 = time.perf_counter()
+                expand_prefix(spark, idx, p)
+                lat.append(time.perf_counter() - t0)
+            extra["prefix_expand_p50_sec"] = round(
+                float(np.percentile(lat, 50)), 3)
+            lat = []
+            for w in ["wirless", "bluetooths", "runing", "sockz",
+                      "headphone"]:
+                t0 = time.perf_counter()
+                expand_fuzzy(spark, idx, w)
+                lat.append(time.perf_counter() - t0)
+            extra["fuzzy_expand_p50_sec"] = round(
+                float(np.percentile(lat, 50)), 3)
+            idx.warm(spark)
+            if docs is not None:
+                # warm route: idf from the driver cache, ranking through
+                # the zero-shuffle served kernel (cold fallback is the
+                # exact path — tests/test_expand.py gates identity)
+                more_like_this_doc(spark, idx, docs, 0, k=10).collect()
+                lat = []
+                for did in [101, 5003, 20011]:
+                    t0 = time.perf_counter()
+                    more_like_this_doc(spark, idx, docs, did,
+                                       k=10).collect()
+                    lat.append(time.perf_counter() - t0)
+                extra["mlt_warm_p50_sec"] = round(
+                    float(np.percentile(lat, 50)), 3)
+            wild = ["wireless +blu* -socks", "comfortable runn* shoes",
+                    "organic gre* tea", "usb charg* cable",
+                    "gaming mou* rgb"]
+            dsl_search(spark, idx, wild[0], k=10).collect()  # JIT
+            lat = []
+            for q in wild:
+                t0 = time.perf_counter()
+                dsl_search(spark, idx, q, k=10).collect()
+                lat.append(time.perf_counter() - t0)
+            extra["dsl_wildcard_warm_p50_sec"] = round(
+                float(np.percentile(lat, 50)), 3)
             idx.unwarm()
 
         if "sf" in phases and os.path.isdir(sf_dir):

@@ -167,6 +167,12 @@ def more_like_this(spark: SparkSession, index: InvertedIndex, text: str,
     ex = None
     if exclude_doc_id is not None:
         ex = spark.createDataFrame([(int(exclude_doc_id),)], "doc_id long")
+    if index.is_warm():
+        # similar-pages at serving latency: the expanded term list rides
+        # the zero-shuffle shard kernel, exclusion as a blocked mask
+        # (bitwise-identical to the exact route — tests/test_expand.py)
+        from .bm25 import bm25_topk_served
+        return bm25_topk_served(spark, index, terms, k=k, exclude_docs=ex)
     return bm25_topk_exact(spark, index, terms, k=k, exclude_docs=ex)
 
 

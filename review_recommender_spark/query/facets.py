@@ -27,11 +27,13 @@ def dsl_match_docs(spark: SparkSession, index: InvertedIndex,
     disjunctive base is the union of the ranking terms' posting docs
     (each bounded by its df), constraints are the same semi/anti joins
     ``dsl_search`` uses."""
-    from .expand import expand_prefix
-    from .parser import ranking_tokens
+    from .parser import query_expansions, ranking_tokens
     pq = parse_query(query)
+    exp = query_expansions(spark, index, pq)
+    pre, _fuz = exp
     base = None
-    for t in sorted(set(ranking_tokens(spark, index, pq))):
+    for t in sorted(set(ranking_tokens(spark, index, pq,
+                                       expansions=exp))):
         td = term_docs(spark, index, t)
         base = td if base is None else base.unionByName(td)
     if base is None:
@@ -41,7 +43,7 @@ def dsl_match_docs(spark: SparkSession, index: InvertedIndex,
         base = base.join(term_docs(spark, index, t), "doc_id", "left_semi")
     for p in pq.required_wildcards:
         grp = None
-        for t in expand_prefix(spark, index, p):
+        for t in pre[p]:
             td = term_docs(spark, index, t)
             grp = td if grp is None else grp.unionByName(td)
         if grp is None:
@@ -54,8 +56,7 @@ def dsl_match_docs(spark: SparkSession, index: InvertedIndex,
                 phrase_match(spark, index, p, k=phrase_cap)
                 .select("doc_id"), "doc_id", "left_semi")
     for t in [tok for w in pq.excluded for tok in tokenize_k1_py(w)] \
-            + [t for p in pq.excluded_wildcards
-               for t in expand_prefix(spark, index, p)]:
+            + [t for p in pq.excluded_wildcards for t in pre[p]]:
         base = base.join(term_docs(spark, index, t), "doc_id", "left_anti")
     return base
 

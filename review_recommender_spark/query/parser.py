@@ -122,10 +122,29 @@ def parse_query(s: str) -> ParsedQuery:
                        excluded_wildcards=exc_wild, fuzzies=fuzz)
 
 
+def query_expansions(spark: SparkSession, index: InvertedIndex,
+                     pq: ParsedQuery,
+                     wildcard_max: int = 32,
+                     fuzzy_max: int = 8) -> tuple[dict, dict]:
+    """Resolve every distinct wildcard/fuzzy pattern of the query ONCE
+    (one bounded dictionary scan each): ({prefix: [terms]},
+    {word: [terms]}). ``ranking_tokens`` / ``dsl_search`` /
+    ``dsl_match_docs`` all consume the same resolution, so a pattern
+    used for both ranking and a constraint costs one job, not two."""
+    from .expand import expand_fuzzy, expand_prefix
+    pre = {p: expand_prefix(spark, index, p, max_terms=wildcard_max)
+           for p in dict.fromkeys(pq.wildcards + pq.required_wildcards
+                                  + pq.excluded_wildcards)}
+    fuz = {w: expand_fuzzy(spark, index, w, max_terms=fuzzy_max)
+           for w in dict.fromkeys(pq.fuzzies)}
+    return pre, fuz
+
+
 def ranking_tokens(spark: SparkSession, index: InvertedIndex,
                    pq: ParsedQuery,
                    wildcard_max: int = 32,
-                   fuzzy_max: int = 8) -> list[str]:
+                   fuzzy_max: int = 8,
+                   expansions: tuple[dict, dict] | None = None) -> list[str]:
     """The FINAL scoring token sequence: the K2-tokenized base ranking
     text, then expansion groups appended in a fixed documented order —
     free wildcards, required wildcards, fuzzies, each group's terms in
@@ -134,12 +153,13 @@ def ranking_tokens(spark: SparkSession, index: InvertedIndex,
     is a token-sequence spec, and the DuckDB twin mirrors it by
     summing qtf per term)."""
     from ..functions.tokenize import tokenize_k2_py
-    from .expand import expand_fuzzy, expand_prefix
+    pre, fuz = expansions if expansions is not None else \
+        query_expansions(spark, index, pq, wildcard_max, fuzzy_max)
     toks = tokenize_k2_py(pq.ranking_text) if pq.ranking_text else []
     for p in pq.wildcards + pq.required_wildcards:
-        toks += expand_prefix(spark, index, p, max_terms=wildcard_max)
+        toks += pre[p]
     for w in pq.fuzzies:
-        toks += expand_fuzzy(spark, index, w, max_terms=fuzzy_max)
+        toks += fuz[w]
     return toks
 
 
@@ -154,12 +174,13 @@ def dsl_search(spark: SparkSession, index: InvertedIndex, query: str,
     docs are carried into the semi-join (top by occurrence count — a
     phrase matching more docs than this is effectively a ranking term)."""
     pq = parse_query(query)
-    ranking = ranking_tokens(spark, index, pq)
+    exp = query_expansions(spark, index, pq)
+    ranking = ranking_tokens(spark, index, pq, expansions=exp)
     if not ranking:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
     from ..functions.tokenize import tokenize_k1_py
-    from .expand import expand_prefix
+    pre, _fuz = exp
     fd = filter_docs.select("doc_id") if filter_docs is not None else None
     # a sigiled word normalizes through the INDEX tokenizer ("+Wi-Fi" →
     # required tokens ['wi', 'fi']) so constraints match what was indexed
@@ -170,7 +191,7 @@ def dsl_search(spark: SparkSession, index: InvertedIndex, query: str,
     # the union is bounded by the expansions' summed dfs
     for p in pq.required_wildcards:
         grp = None
-        for t in expand_prefix(spark, index, p):
+        for t in pre[p]:
             td = term_docs(spark, index, t)
             grp = td if grp is None else grp.unionByName(td)
         if grp is None:            # no vocabulary term matches → ∅
@@ -186,8 +207,7 @@ def dsl_search(spark: SparkSession, index: InvertedIndex, query: str,
 
     ex = None
     for t in [tok for w in pq.excluded for tok in tokenize_k1_py(w)] \
-            + [t for p in pq.excluded_wildcards
-               for t in expand_prefix(spark, index, p)]:
+            + [t for p in pq.excluded_wildcards for t in pre[p]]:
         td = term_docs(spark, index, t)
         ex = td if ex is None else ex.unionByName(td)
 

@@ -244,3 +244,25 @@ def test_dsl_match_count(spark, small_index, page_texts, term_df):
                if (lambda s: s & rank and s & req and not s & exc)
                (set(tokenize_k1_py(t))))
     assert n == want > 0
+
+
+def test_warm_routes_bitwise(spark, small_pages, small_index, term_df):
+    """Warm index: more_like_this and wildcard dsl_search route through
+    the zero-shuffle served kernel, bitwise-identical to the cold exact
+    route."""
+    q = "wireless +blu* -sock*"
+    cold_dsl = dsl_search(spark, small_index, q, k=10).collect()
+    cold_mlt = E.more_like_this_doc(spark, small_index, small_pages, 7,
+                                    k=10).collect()
+    small_index.warm(spark)
+    try:
+        warm_dsl = dsl_search(spark, small_index, q, k=10).collect()
+        warm_mlt = E.more_like_this_doc(spark, small_index, small_pages,
+                                        7, k=10).collect()
+    finally:
+        small_index.unwarm()
+    assert [(r["doc_id"], r["score"]) for r in cold_dsl] \
+        == [(r["doc_id"], r["score"]) for r in warm_dsl]
+    assert [(r["doc_id"], r["score"]) for r in cold_mlt] \
+        == [(r["doc_id"], r["score"]) for r in warm_mlt]
+    assert cold_dsl and cold_mlt
