@@ -447,6 +447,22 @@ def q_ft_dsl_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsl_match_count(spark, idx, DSL_WILD_QUERY)
 
 
+def q_ft_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-after pagination: page 2 of the headline query via the
+    previous page's (unrounded score, doc_id) cursor — O(page) deep
+    paging, applied before top-k on every path (query/bm25.py::
+    _apply_after). The DuckDB twin is the full ranking OFFSET k: the
+    cursor page must equal the contiguous slice."""
+    idx = _doc_index(spark, sf_dir)
+    page1 = bm25_topk_exact(spark, idx, BM25_QUERY, k=BM25_K).collect()
+    if not page1:
+        return spark.createDataFrame([], "doc_id long, score double")
+    cursor = (page1[-1]["score"], page1[-1]["doc_id"])
+    res = bm25_topk_exact(spark, idx, BM25_QUERY, k=BM25_K, after=cursor)
+    return (res.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
 def q_ft_bm25_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Function-score retrieval: BM25 × a static per-doc boost column
     (recency/quality-prior shape), applied after the fold and BEFORE
@@ -986,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_dsl_wildcard": q_ft_dsl_wildcard,
         "ft_dsl_match_count": q_ft_dsl_match_count,
         "ft_bm25_boosted": q_ft_bm25_boosted,
+        "ft_bm25_page2": q_ft_bm25_page2,
         "tpch_q1": q_tpch_q1,
         "top3_lineitems": q_top3_lineitems,
         "customer_order_totals": q_customer_order_totals,
@@ -1537,6 +1554,9 @@ SELECT count(*)::BIGINT AS n_hits FROM m""",
         # function-score: BM25 × (0.5 + doc_id%5 · 0.25) before top-k
         "ft_bm25_boosted": _bm25_sql(BM25_QUERY, 1.2, 0.75, BM25_K,
                                      boost_expr=BOOST_SQL),
+        # search-after page 2 == rows k+1..2k of the full ranking
+        "ft_bm25_page2": _bm25_sql(BM25_QUERY, 1.2, 0.75, BM25_K)
+        .replace(f"LIMIT {BM25_K}", f"LIMIT {BM25_K} OFFSET {BM25_K}"),
         "ft_bm25_topk_filtered_served": _bm25_sql(
             BM25_QUERY, 1.2, 0.75, BM25_K, doc_where="lang = 'en'"),
         "ft_bm25_topk_served": " UNION ALL ".join(

@@ -236,9 +236,29 @@ def _score_weighted_blocks(joined: DataFrame, index: InvertedIndex,
     return joined.mapInPandas(score, schema=schema)
 
 
+def _apply_after(scored: DataFrame, after) -> DataFrame:
+    """Search-after pagination cursor: keep only docs STRICTLY after
+    ``after = (score, doc_id)`` in the engine's total result order
+    (score DESC, doc_id ASC). The cursor is the last row of the previous
+    page (UNROUNDED score — scores are bitwise-identical across paths,
+    so the float equality is well-defined), making deep paging O(page)
+    instead of O(offset + page): no re-materialization of skipped rows,
+    and under the served/pruned kernels θ becomes the k-th best
+    POST-CURSOR score (rank-safe: dropping docs only lowers θ, and
+    block bounds over all docs stay upper bounds — the same argument as
+    ``filter_docs``/``exclude_docs``)."""
+    if after is None:
+        return scored
+    s_a, d_a = float(after[0]), int(after[1])
+    return scored.filter(
+        (F.col("score") < F.lit(s_a))
+        | ((F.col("score") == F.lit(s_a)) & (F.col("doc_id") > F.lit(d_a))))
+
+
 def _topk(partials: DataFrame, token_seq: list[str], k: int,
           min_match: int = 1,
-          boost_docs: DataFrame | None = None) -> DataFrame:
+          boost_docs: DataFrame | None = None,
+          after=None) -> DataFrame:
     scored = _fold_scores(partials, token_seq, ["doc_id"],
                           min_match=min_match)
     if boost_docs is not None:
@@ -255,7 +275,7 @@ def _topk(partials: DataFrame, token_seq: list[str], k: int,
                           (F.col("score")
                            * F.coalesce(F.col("boost"), F.lit(1.0)))
                           .alias("score")))
-    return (scored
+    return (_apply_after(scored, after)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k))
 
@@ -413,7 +433,8 @@ def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query,
                     filter_docs: DataFrame | None = None,
                     min_match: int | str | None = None,
                     exclude_docs: DataFrame | None = None,
-                    boost_docs: DataFrame | None = None) -> DataFrame:
+                    boost_docs: DataFrame | None = None,
+                    after: tuple[float, int] | None = None) -> DataFrame:
     """Exact BM25 top-k in one action. ``filter_docs`` (optional DataFrame
     with a ``doc_id`` column) restricts ranking to those documents —
     applied BEFORE top-k selection (see ``_apply_doc_filter``), so the
@@ -430,7 +451,11 @@ def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query,
 
     ``boost_docs`` (optional DataFrame with (doc_id, boost)): static
     per-doc score multiplier applied after the fold, before top-k (see
-    ``_topk``) — function-score ranking (recency, quality priors)."""
+    ``_topk``) — function-score ranking (recency, quality priors).
+
+    ``after`` (optional (score, doc_id) cursor): search-after
+    pagination — see ``_apply_after``. Page 2 = the previous page's
+    last (UNROUNDED score, doc_id)."""
     qtf = _qtf(query)
     if not qtf:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -445,14 +470,15 @@ def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query,
                                   exclude_docs)
     return _topk(partials, token_seq, k,
                  min_match=_resolve_min_match(token_seq, min_match),
-                 boost_docs=boost_docs)
+                 boost_docs=boost_docs, after=after)
 
 
 def _served_local_topk(token_seqs: list[list[str]], idf_map: dict,
                        k1: float, b: float, avgdl: float, k: int,
                        block_skip: bool, with_query_id: bool,
                        acc_decoded=None, acc_total=None,
-                       allowed=None, min_matches=None, blocked=None):
+                       allowed=None, min_matches=None, blocked=None,
+                       after=None):
     """Shared per-shard kernel for the served paths, WITH block-max
     skipping: before decoding anything, every block row's idf-free unit
     upper bound is computed from the resident (max_tf, min_dl) metadata
@@ -501,7 +527,13 @@ def _served_local_topk(token_seqs: list[list[str]], idf_map: dict,
     ``blocked`` (optional SORTED unique int64 numpy array): the NEGATIVE
     mask — excluded docs never enter the local top-k (the `-term` side of
     a boolean query). Same θ/bound rank-safety as ``allowed``: dropping
-    docs only lowers θ, and bounds over all docs stay upper bounds."""
+    docs only lowers θ, and bounds over all docs stay upper bounds.
+
+    ``after`` (optional (score, doc_id) cursor, single-query callers
+    only): search-after pagination — docs at or before the cursor in
+    (score DESC, doc_id ASC) order never enter the local top-k, so θ is
+    the k-th best POST-CURSOR score. Same rank-safety argument as
+    ``allowed``/``blocked``."""
 
     def local_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -612,6 +644,11 @@ def _served_local_topk(token_seqs: list[list[str]], idf_map: dict,
                     pos[pos >= len(blocked)] = 0
                     keep = blocked[pos] != uniq
                     uniq, totals = uniq[keep], totals[keep]
+                if after is not None and len(uniq):
+                    s_a, d_a = after
+                    keep = (totals < s_a) | ((totals == s_a)
+                                             & (uniq > d_a))
+                    uniq, totals = uniq[keep], totals[keep]
                 # each doc lives in exactly one range → concat never
                 # duplicates; keep only the running local top-k
                 run_d = np.concatenate([run_d, uniq])
@@ -637,7 +674,8 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
                      filter_docs: DataFrame | None = None,
                      filter_broadcast_max: int = 5_000_000,
                      min_match: int | str | None = None,
-                     exclude_docs: DataFrame | None = None) -> DataFrame:
+                     exclude_docs: DataFrame | None = None,
+                     after: tuple[float, int] | None = None) -> DataFrame:
     """Low-latency exact BM25 top-k over the warm DOC-SHARDED serving
     layout (``InvertedIndex.warm``): postings are resident in executor
     memory re-sharded by ``range_id``, so every document's complete
@@ -689,7 +727,8 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
         return bm25_topk_exact(spark, index, query, k=k, stats=stats,
                                filter_docs=filter_docs,
                                min_match=min_match,
-                               exclude_docs=exclude_docs)
+                               exclude_docs=exclude_docs,
+                               after=after)
     if allowed is not None and not len(allowed):
         return spark.createDataFrame([], RESULT_SCHEMA)
     acc_d = acc_t = None
@@ -702,7 +741,9 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
         [token_seq], idf, index.cfg.bm25.k1, index.cfg.bm25.b,
         index.avgdl, k, block_skip, with_query_id=False,
         acc_decoded=acc_d, acc_total=acc_t, allowed=allowed,
-        min_matches=[mm], blocked=blocked)
+        min_matches=[mm], blocked=blocked,
+        after=((float(after[0]), int(after[1]))
+               if after is not None else None))
     blocks = index.serving_df(spark).filter(
         F.col("term").isin(sorted(idf)))
     local = blocks.mapInPandas(kernel, schema=RESULT_SCHEMA)
@@ -714,8 +755,9 @@ def bm25_topk_served(spark: SparkSession, index: InvertedIndex, query: str,
                                   [token_seq], wr,
                                   min_matches=[mm]) \
             .drop("query_id")
-        cold = _apply_doc_exclude(_apply_doc_filter(cold, filter_docs),
-                                  exclude_docs)
+        cold = _apply_after(
+            _apply_doc_exclude(_apply_doc_filter(cold, filter_docs),
+                               exclude_docs), after)
         local = local.unionByName(cold)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -884,7 +926,8 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
                      stats: dict | None = None,
                      filter_docs: DataFrame | None = None,
                      min_match: int | str | None = None,
-                     exclude_docs: DataFrame | None = None) -> DataFrame:
+                     exclude_docs: DataFrame | None = None,
+                     after: tuple[float, int] | None = None) -> DataFrame:
     """Rank-identical to ``bm25_topk_exact``; skips doc-ranges whose summed
     per-term upper bounds cannot reach the k-th best score. Falls through
     to the exact single-action path when the query touches few ranges
@@ -908,7 +951,12 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
     is exact.
 
     ``exclude_docs``: must-NOT filter, same θ-seeding argument (excluding
-    docs only lowers θ; bounds over all docs stay upper bounds)."""
+    docs only lowers θ; bounds over all docs stay upper bounds).
+
+    ``after``: search-after pagination cursor (``_apply_after``) —
+    applied inside the θ seeding and both scoring passes, so θ is the
+    k-th best POST-CURSOR score (same rank-safety argument as the
+    other before-top-k constraints)."""
     idf = query_term_idf(spark, index, query)
     if not idf:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -934,7 +982,8 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
         joined = blocks.drop("ub").join(F.broadcast(wdf), "term")
         return _topk(_apply_doc_exclude(_apply_doc_filter(
             _score_weighted_blocks(joined, index, False, acc_blocks=acc),
-            filter_docs), exclude_docs), token_seq, k, min_match=mm)
+            filter_docs), exclude_docs), token_seq, k, min_match=mm,
+            after=after)
     if stats is not None:
         stats["pruning_engaged"] = True
 
@@ -957,7 +1006,7 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
                 _score_weighted_blocks(seed_blocks, index, False,
                                        acc_blocks=acc), filter_docs),
                 exclude_docs),
-            token_seq, k, min_match=mm).collect()
+            token_seq, k, min_match=mm, after=after).collect()
         theta = (seed_scored[k - 1]["score"]
                  if len(seed_scored) >= k else float("-inf"))
 
@@ -990,7 +1039,7 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
             _score_weighted_blocks(rest_blocks, index, False,
                                    acc_blocks=acc), filter_docs),
             exclude_docs),
-            token_seq, k, min_match=mm)
+            token_seq, k, min_match=mm, after=after)
         seed_df = spark.createDataFrame(
             [(r["doc_id"], r["score"]) for r in seed_scored], RESULT_SCHEMA)
         return (seed_df.unionByName(rest)
