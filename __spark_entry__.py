@@ -463,6 +463,24 @@ def q_ft_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
+EXPLAIN_DOC_ID = 7
+
+
+def q_ft_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score explanation (the `_explain` surface): one row per matched
+    query term for (BM25_QUERY, doc 7) with tf/dl/idf inputs and the
+    term's contribution — the scan is bucket+term-pruned AND
+    interval-pruned to the ≤1 block per term covering the doc
+    (query/bm25.py::explain_score). The DuckDB twin recomputes every
+    column from retokenization."""
+    from review_recommender_spark.query.bm25 import explain_score
+    idx = _doc_index(spark, sf_dir)
+    res = explain_score(spark, idx, BM25_QUERY, EXPLAIN_DOC_ID)
+    return res.select("term", "qtf", "tf", "dl",
+                      F.round("idf", 6).alias("idf"),
+                      F.round("contribution", 6).alias("contribution"))
+
+
 def q_ft_bm25_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Function-score retrieval: BM25 × a static per-doc boost column
     (recency/quality-prior shape), applied after the fold and BEFORE
@@ -1003,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_dsl_match_count": q_ft_dsl_match_count,
         "ft_bm25_boosted": q_ft_bm25_boosted,
         "ft_bm25_page2": q_ft_bm25_page2,
+        "ft_explain_score": q_ft_explain_score,
         "tpch_q1": q_tpch_q1,
         "top3_lineitems": q_top3_lineitems,
         "customer_order_totals": q_customer_order_totals,
@@ -1063,6 +1082,25 @@ idf AS (SELECT term, df,
                     ELSE raw END AS idf
         FROM idf_raw)
 """
+
+
+def _explain_sql(query: str, k1: float, b: float, doc_id: int) -> str:
+    """SQL twin of ``query.bm25.explain_score``: per matched query term,
+    the doc's tf/dl, the ε-fixup idf, and idf·qtf·unit."""
+    qtf = Counter(tokenize_k2_py(query))
+    vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
+    return f"""{_FT_BASE},
+q(term, qtf) AS (VALUES {vals})
+SELECT tfc.term, q.qtf, tfc.tf, doclen.dl,
+       round(idf.idf, 6) AS idf,
+       round(idf.idf * q.qtf * tfc.tf * ({k1} + 1)
+             / (tfc.tf + {k1} * (1 - {b} + {b} * doclen.dl
+                                 / (SELECT avgdl FROM stats))), 6)
+       AS contribution
+FROM q JOIN idf USING (term) JOIN tfc USING (term)
+       JOIN doclen ON tfc.doc_id = doclen.doc_id
+WHERE tfc.doc_id = {doc_id}
+ORDER BY contribution DESC, tfc.term"""
 
 
 def _bm25_sql(query: str, k1: float, b: float, k: int,
@@ -1557,6 +1595,9 @@ SELECT count(*)::BIGINT AS n_hits FROM m""",
         # search-after page 2 == rows k+1..2k of the full ranking
         "ft_bm25_page2": _bm25_sql(BM25_QUERY, 1.2, 0.75, BM25_K)
         .replace(f"LIMIT {BM25_K}", f"LIMIT {BM25_K} OFFSET {BM25_K}"),
+        # per-term score explanation for (BM25_QUERY, doc 7)
+        "ft_explain_score": _explain_sql(BM25_QUERY, 1.2, 0.75,
+                                         EXPLAIN_DOC_ID),
         "ft_bm25_topk_filtered_served": _bm25_sql(
             BM25_QUERY, 1.2, 0.75, BM25_K, doc_where="lang = 'en'"),
         "ft_bm25_topk_served": " UNION ALL ".join(

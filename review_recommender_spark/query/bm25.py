@@ -428,6 +428,68 @@ def term_docs(spark: SparkSession, index: InvertedIndex,
     return blocks.mapInPandas(explode, schema="doc_id long")
 
 
+def explain_score(spark: SparkSession, index: InvertedIndex, query,
+                  doc_id: int) -> DataFrame:
+    """Score explanation for one (query, document) pair — the `_explain`
+    surface every search engine ships: one row per MATCHED query term
+    with the inputs and the term's contribution,
+
+        (term, qtf, tf, dl, idf, contribution)
+        contribution = idf · qtf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+
+    ordered (contribution DESC, term ASC). sum(contribution) equals the
+    doc's ranking score up to float addition order (the ranking fold
+    adds in query-token order; tests assert exact equality via the same
+    fold arithmetic).
+
+    Cost shape at 10^12 docs: the scan is bucket+term-pruned to the
+    query terms' blocks AND interval-pruned to the ≤1 block per term
+    whose [first_doc_id, last_doc_id] covers the target doc — O(query
+    terms) decoded blocks, never a postings walk."""
+    qtf = _qtf(query)
+    if not qtf:
+        return spark.createDataFrame(
+            [], "term string, qtf int, tf long, dl long, idf double, "
+                "contribution double")
+    idf = query_term_idf(spark, index, query)
+    did = int(doc_id)
+    blocks = _query_blocks(spark, index, sorted(qtf)).filter(
+        (F.col("first_doc_id") <= did) & (F.col("last_doc_id") >= did))
+
+    def pick(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            terms, tfs, dls = [], [], []
+            for term, n, db, tb, lb in zip(pdf["term"], pdf["n"],
+                                           pdf["doc_bytes"],
+                                           pdf["tf_bytes"],
+                                           pdf["dl_bytes"]):
+                d, t, ln = decode_block(bytes(db), bytes(tb), bytes(lb),
+                                        int(n))
+                i = np.searchsorted(d, did)
+                if i < len(d) and d[i] == did:
+                    terms.append(term)
+                    tfs.append(int(t[i]))
+                    dls.append(int(ln[i]))
+            if terms:
+                yield pd.DataFrame({"term": terms, "tf": tfs, "dl": dls})
+
+    hits = blocks.mapInPandas(pick, schema="term string, tf long, dl long")
+    k1, b = index.cfg.bm25.k1, index.cfg.bm25.b
+    qdf = spark.createDataFrame(
+        [(t, int(n), float(idf[t])) for t, n in sorted(qtf.items())
+         if t in idf],
+        "term string, qtf int, idf double")
+    tf = F.col("tf").cast("double")
+    unit = (tf * (k1 + 1)
+            / (tf + k1 * (1 - b + b * F.col("dl") / index.avgdl)))
+    return (hits.join(F.broadcast(qdf), "term")
+            .select("term", "qtf", "tf", "dl", "idf",
+                    (F.col("idf") * F.col("qtf") * unit)
+                    .alias("contribution"))
+            .orderBy(F.desc("contribution"), F.asc("term")))
+
+
 def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query,
                     k: int = 10, stats: dict | None = None,
                     filter_docs: DataFrame | None = None,
