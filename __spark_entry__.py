@@ -463,6 +463,26 @@ def q_ft_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
+NEAR_PHRASE = "dup scan"
+NEAR_WINDOW = 12
+
+
+def q_ft_near_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity ("sloppy phrase") match: docs where 'dup' and 'scan'
+    co-occur within a 12-token window, with the exact minimal span —
+    the `"a b"~N` relaxation of the exact phrase (index/positions.py::
+    near_match; optimal sliding window over packed (doc,pos) keys, one
+    range-keyed shuffle). The DuckDB twin recomputes min |p_a − p_b|
+    from retokenized positions."""
+    from review_recommender_spark.index.positions import (build_positions,
+                                                          near_match)
+    idx = _doc_index(spark, sf_dir)
+    if sf_dir not in _POSITIONS_BUILT:
+        build_positions(spark, idx.io, idx.cfg)
+        _POSITIONS_BUILT.add(sf_dir)
+    return near_match(spark, idx, NEAR_PHRASE, NEAR_WINDOW, k=100)
+
+
 EXPLAIN_DOC_ID = 7
 
 
@@ -1022,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_boosted": q_ft_bm25_boosted,
         "ft_bm25_page2": q_ft_bm25_page2,
         "ft_explain_score": q_ft_explain_score,
+        "ft_near_match": q_ft_near_match,
         "tpch_q1": q_tpch_q1,
         "top3_lineitems": q_top3_lineitems,
         "customer_order_totals": q_customer_order_totals,
@@ -1598,6 +1619,17 @@ SELECT count(*)::BIGINT AS n_hits FROM m""",
         # per-term score explanation for (BM25_QUERY, doc 7)
         "ft_explain_score": _explain_sql(BM25_QUERY, 1.2, 0.75,
                                          EXPLAIN_DOC_ID),
+        # proximity: min |p_dup − p_scan| per doc, window 12
+        "ft_near_match": f"""
+WITH toks AS (SELECT doc_id, {K1SQL} AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(generate_series(1, len(toks))) AS p FROM toks),
+a AS (SELECT doc_id, p FROM pos WHERE term = 'dup'),
+b AS (SELECT doc_id, p FROM pos WHERE term = 'scan'),
+m AS (SELECT a.doc_id, min(abs(a.p - b.p))::BIGINT AS min_span
+      FROM a JOIN b USING (doc_id) GROUP BY a.doc_id)
+SELECT doc_id, min_span FROM m WHERE min_span <= {NEAR_WINDOW}
+ORDER BY min_span, doc_id LIMIT 100""",
         "ft_bm25_topk_filtered_served": _bm25_sql(
             BM25_QUERY, 1.2, 0.75, BM25_K, doc_where="lang = 'en'"),
         "ft_bm25_topk_served": " UNION ALL ".join(

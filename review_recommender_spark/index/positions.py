@@ -524,3 +524,103 @@ def phrase_match(spark: SparkSession, index: InvertedIndex, phrase: str,
                  .repartition("range_id")
                  .mapInPandas(match, schema=out_schema))
     return local.orderBy(F.desc("n_occ"), F.asc("doc_id")).limit(k)
+
+
+def near_match(spark: SparkSession, index: InvertedIndex, phrase: str,
+               window: int, k: int = 100) -> DataFrame:
+    """Proximity ("sloppy phrase") match: documents where ALL the
+    phrase's distinct K1 terms co-occur within a token window —
+    ``min_span`` (the smallest max−min position difference over one
+    chosen occurrence per term) ≤ ``window``. Unordered, the
+    `"a b"~N`-style relaxation of ``phrase_match`` (exact consecutive =
+    ordered span m−1). Returns (doc_id, min_span) ordered (min_span
+    ASC, doc_id ASC), top ``k``.
+
+    Same plan shape as ``phrase_match``: bucket+term-pruned positions
+    scan, ONE range_id-keyed shuffle (or the warm resident layout —
+    no scan, no exchange), then a per-range kernel that is pure
+    vectorized numpy: merge all terms' packed (doc·2^13+pos) keys with
+    integer labels, sort once, forward-fill each label's last
+    occurrence index (np.maximum.accumulate), and for every end
+    position take the window starting at the MINIMUM of those
+    last-occurrence indices — the classic optimal sliding window, so
+    per-doc min_span is exact. A window can never leak across
+    documents: keys of different docs differ by ≥ 2^13 > token_cap ≥
+    any real span, so a cross-doc "span" always exceeds ``window``."""
+    if index.cfg.index.token_cap > int(_POS_MULT):
+        raise ValueError(
+            f"near_match: token_cap {index.cfg.index.token_cap} exceeds "
+            f"the position radix {int(_POS_MULT)}; keys would collide")
+    if window < 0:
+        raise ValueError("window must be >= 0")
+    terms = sorted(set(tokenize_k1_py(phrase)))
+    out_schema = "doc_id long, min_span long"
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    m = len(terms)
+    warm = (index._cached or {}).get("_positions")
+    if warm is not None:
+        blocks = warm.filter(F.col("term").isin(terms))
+    else:
+        buckets = sorted({term_bucket_py(t, index.cfg.index.term_buckets)
+                          for t in terms})
+        blocks = (index.io.read(spark, POSITIONS)
+                  .filter(F.col("term_bucket").isin(buckets)
+                          & F.col("term").isin(terms)))
+    label_of = {t: i for i, t in enumerate(terms)}
+    win = np.int64(window)
+
+    def near(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys_chunks: list[np.ndarray] = []
+        label_chunks: list[np.ndarray] = []
+        seen = set()
+        for pdf in it:
+            for term, n, db, cb, pb in zip(pdf["term"], pdf["n"],
+                                           pdf["doc_bytes"],
+                                           pdf["cnt_bytes"],
+                                           pdf["pos_bytes"]):
+                docs, counts, pos = decode_pos_block(
+                    bytes(db), bytes(cb), bytes(pb), int(n))
+                keys = np.repeat(docs, counts) * _POS_MULT + pos
+                keys_chunks.append(keys)
+                label_chunks.append(np.full(len(keys), label_of[term],
+                                            dtype=np.int8))
+                seen.add(term)
+        if len(seen) < m:
+            return  # some term absent from this partition's ranges
+        keys = np.concatenate(keys_chunks)
+        labels = np.concatenate(label_chunks)
+        order = np.argsort(keys, kind="stable")
+        keys, labels = keys[order], labels[order]
+        n = len(keys)
+        idx = np.arange(n, dtype=np.int64)
+        # last occurrence index of each label at or before j (−1 = none)
+        last = np.full((m, n), -1, dtype=np.int64)
+        for lbl in range(m):
+            row = np.where(labels == lbl, idx, np.int64(-1))
+            last[lbl] = np.maximum.accumulate(row)
+        start = last.min(axis=0)
+        valid = start >= 0
+        if not valid.any():
+            return
+        span = np.full(n, np.int64(1) << 62, dtype=np.int64)
+        span[valid] = keys[valid] - keys[start[valid]]
+        ok = span <= win
+        if not ok.any():
+            return
+        docs = keys[ok] // _POS_MULT
+        spans = span[ok]
+        # per-doc minimum over all qualifying end positions
+        uniq, inv = np.unique(docs, return_inverse=True)
+        best = np.full(len(uniq), np.int64(1) << 62, dtype=np.int64)
+        np.minimum.at(best, inv, spans)
+        yield pd.DataFrame({"doc_id": uniq, "min_span": best})
+
+    if warm is not None:
+        local = blocks.mapInPandas(near, schema=out_schema)
+    else:
+        local = (blocks.select("term", "range_id", "n", "doc_bytes",
+                               "cnt_bytes", "pos_bytes")
+                 .repartition("range_id")
+                 .mapInPandas(near, schema=out_schema))
+    return local.orderBy(F.asc("min_span"), F.asc("doc_id")).limit(k)

@@ -55,6 +55,12 @@ def dsl_match_docs(spark: SparkSession, index: InvertedIndex,
             base = base.join(
                 phrase_match(spark, index, p, k=phrase_cap)
                 .select("doc_id"), "doc_id", "left_semi")
+    if pq.near:
+        from ..index.positions import near_match
+        for p, win in pq.near:
+            base = base.join(
+                near_match(spark, index, p, win, k=phrase_cap)
+                .select("doc_id"), "doc_id", "left_semi")
     for t in [tok for w in pq.excluded for tok in tokenize_k1_py(w)] \
             + [t for p in pq.excluded_wildcards for t in pre[p]]:
         base = base.join(term_docs(spark, index, t), "doc_id", "left_anti")

@@ -7,6 +7,9 @@ Grammar (the Lucene/web-search-box subset every full-text engine ships):
     -term               MUST NOT contain the term
     "quoted phrase"     MUST contain the exact consecutive phrase
                         (positions table required; its words rank too)
+    "a b"~N             PROXIMITY — MUST contain all the quoted words
+                        within a token window: min_span ≤ N, unordered
+                        (index/positions.py::near_match); words rank
     term*               PREFIX wildcard — expands against the index
                         vocabulary (query/expand.py, df-top rewrite) and
                         the expansions rank; +term* requires ANY
@@ -41,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..index.build import InvertedIndex
 from .bm25 import RESULT_SCHEMA, bm25_topk_exact, term_docs
 
-_PHRASE_RE = re.compile(r'"([^"]*)"')
+_PHRASE_RE = re.compile(r'"([^"]*)"(~(\d+))?')
 
 
 @dataclass(frozen=True)
@@ -57,6 +60,8 @@ class ParsedQuery:
     required_wildcards: list[str] = field(default_factory=list)
     excluded_wildcards: list[str] = field(default_factory=list)
     fuzzies: list[str] = field(default_factory=list)
+    # proximity spans: ("a b", N) from '"a b"~N' — near constraint
+    near: list[tuple[str, int]] = field(default_factory=list)
 
     @property
     def ranking_text(self) -> str:
@@ -66,7 +71,8 @@ class ParsedQuery:
         ``ranking_tokens`` — they bypass the K2 stoplist (they are
         already index terms)."""
         return " ".join(self.free + self.required
-                        + [w for p in self.phrases for w in p.split()])
+                        + [w for p in self.phrases for w in p.split()]
+                        + [w for p, _n in self.near for w in p.split()])
 
 
 def _pattern_word(word: str, free: list[str]) -> str | None:
@@ -89,7 +95,15 @@ def parse_query(s: str) -> ParsedQuery:
     trailing '*' (prefix wildcard) or '~' (fuzzy — free position only;
     a sigiled '~' is treated as the literal word). A bare '+'/'-' or an
     empty quote is dropped."""
-    phrases = [p.strip() for p in _PHRASE_RE.findall(s) if p.strip()]
+    phrases, near = [], []
+    for body, tilde, win in _PHRASE_RE.findall(s):
+        body = body.strip()
+        if not body:
+            continue
+        if tilde:
+            near.append((body, int(win)))
+        else:
+            phrases.append(body)
     rest = _PHRASE_RE.sub(" ", s)
     free, required, excluded = [], [], []
     wild, req_wild, exc_wild, fuzz = [], [], [], []
@@ -119,7 +133,8 @@ def parse_query(s: str) -> ParsedQuery:
     return ParsedQuery(free=free, required=required, excluded=excluded,
                        phrases=phrases, wildcards=wild,
                        required_wildcards=req_wild,
-                       excluded_wildcards=exc_wild, fuzzies=fuzz)
+                       excluded_wildcards=exc_wild, fuzzies=fuzz,
+                       near=near)
 
 
 def query_expansions(spark: SparkSession, index: InvertedIndex,
@@ -204,6 +219,12 @@ def dsl_search(spark: SparkSession, index: InvertedIndex, query: str,
             pd_ = phrase_match(spark, index, p, k=phrase_cap) \
                 .select("doc_id")
             fd = pd_ if fd is None else fd.join(pd_, "doc_id", "left_semi")
+    if pq.near:
+        from ..index.positions import near_match
+        for p, win in pq.near:
+            nd = near_match(spark, index, p, win, k=phrase_cap) \
+                .select("doc_id")
+            fd = nd if fd is None else fd.join(nd, "doc_id", "left_semi")
 
     ex = None
     for t in [tok for w in pq.excluded for tok in tokenize_k1_py(w)] \

@@ -205,3 +205,30 @@ def test_empty_and_constraint_only(spark, small_index):
     # required-only still ranks (required terms rank too)
     got = dsl_search(spark, small_index, "+bluetooth", k=5).collect()
     assert got
+
+
+def test_dsl_near_constraint(spark, pos_index, page_texts):
+    """'"wireless headphones"~6': results near-match within the window
+    (driver ground truth) and scores equal the full expanded ranking."""
+    from tests.test_positions import _truth_min_span
+    q = 'socks "wireless headphones"~6'
+    got = dsl_search(spark, pos_index, q, k=10).collect()
+    assert got
+    for r in got:
+        s = _truth_min_span(page_texts[r["doc_id"]],
+                            "wireless headphones")
+        assert s is not None and s <= 6
+    full = {r["doc_id"]: r["score"]
+            for r in bm25_topk_exact(
+                spark, pos_index, "socks wireless headphones",
+                k=10 ** 6).collect()}
+    for r in got:
+        assert r["score"] == full[r["doc_id"]]
+    # true top-k of the constrained set: no excluded-by-window doc with
+    # a higher score may exist outside the result
+    allowed = {d for d, t in page_texts.items()
+               if (lambda s: s is not None and s <= 6)
+               (_truth_min_span(t, "wireless headphones"))}
+    best = sorted(((d, full.get(d, 0.0)) for d in allowed),
+                  key=lambda x: (-x[1], x[0]))[:10]
+    assert [(r["doc_id"], r["score"]) for r in got] == best

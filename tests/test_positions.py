@@ -345,3 +345,73 @@ def test_positions_build_leaves_postings_untouched(spark, pos_index):
     assert pos_index.io.current_snapshot("postings") is not None
     assert pos_index.io.current_snapshot(POSITIONS)["lineage"]["parent"] \
         == pos_index.io.current_snapshot("local_tf")["snapshot_id"]
+
+
+# ------------------------------------------------------------ near_match
+
+def _truth_min_span(text, phrase):
+    """Brute force: smallest (max-min) over one position per distinct
+    K1 term of ``phrase`` in ``text``; None if some term is absent."""
+    from itertools import product as iproduct
+    toks = tokenize_k1_py(text)
+    terms = sorted(set(tokenize_k1_py(phrase)))
+    pos = {t: [i for i, w in enumerate(toks) if w == t] for t in terms}
+    if any(not p for p in pos.values()):
+        return None
+    best = None
+    for combo in iproduct(*(pos[t] for t in terms)):
+        s = max(combo) - min(combo)
+        best = s if best is None or s < best else best
+    return best
+
+
+def test_near_match_truth(spark, pos_index, page_texts):
+    from review_recommender_spark.index.positions import near_match
+    phrase, window = "wireless keyboard", 12
+    got = {r["doc_id"]: r["min_span"]
+           for r in near_match(spark, pos_index, phrase, window,
+                               k=10 ** 6).collect()}
+    want = {}
+    for did, text in page_texts.items():
+        s = _truth_min_span(text, phrase)
+        if s is not None and s <= window:
+            want[did] = s
+    assert got == want and got
+
+
+def test_near_match_contains_exact_phrase(spark, pos_index):
+    """Every exact-phrase doc near-matches with span <= len-1 (the
+    consecutive window), and a window of m-1 admits at least them."""
+    from review_recommender_spark.index.positions import (near_match,
+                                                          phrase_match)
+    phrase = "gaming mouse"
+    exact = {r["doc_id"] for r in
+             phrase_match(spark, pos_index, phrase, k=10 ** 6).collect()}
+    near = {r["doc_id"]: r["min_span"] for r in
+            near_match(spark, pos_index, phrase, 1, k=10 ** 6).collect()}
+    assert exact and exact <= set(near)
+    for d in exact:
+        assert near[d] <= 1
+
+
+def test_near_match_warm_bitwise(spark, pos_index):
+    from review_recommender_spark.index.positions import (near_match,
+                                                          warm_positions)
+    phrase, window = "bluetooth socks", 20
+    cold = near_match(spark, pos_index, phrase, window, k=100).collect()
+    warm_positions(spark, pos_index)
+    try:
+        warm = near_match(spark, pos_index, phrase, window,
+                          k=100).collect()
+    finally:
+        pos_index.unwarm()
+    assert [(r["doc_id"], r["min_span"]) for r in cold] \
+        == [(r["doc_id"], r["min_span"]) for r in warm]
+    assert cold
+
+
+def test_near_match_guards(spark, pos_index):
+    from review_recommender_spark.index.positions import near_match
+    with pytest.raises(ValueError, match="window"):
+        near_match(spark, pos_index, "a b", -1)
+    assert near_match(spark, pos_index, "", 5).count() == 0
