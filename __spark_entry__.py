@@ -463,6 +463,32 @@ def q_ft_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
+_DV_BUILT: set[str] = set()
+
+
+def q_ft_topk_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-page rendering: the BM25 top-k joined with display
+    metadata point-fetched from the id-sorted doc-values sidecar
+    (index/docvalues.py) — an IN-list pushdown reading O(k) row groups,
+    never a corpus scan (the reference re-reads its corpus pickle,
+    app/test.py:74-78). The DuckDB twin joins the ranking CTE with the
+    documents metadata directly."""
+    from review_recommender_spark.index.docvalues import (build_doc_values,
+                                                          fetch_doc_values)
+    idx = _doc_index(spark, sf_dir)
+    if sf_dir not in _DV_BUILT:
+        docs = _load(spark, sf_dir, "documents")
+        build_doc_values(spark, idx, docs, ["lang", "source", "n_chars"])
+        _DV_BUILT.add(sf_dir)
+    top = bm25_topk_exact(spark, idx, BM25_QUERY, k=BM25_K)
+    rows = top.collect()
+    meta = fetch_doc_values(spark, idx, [r["doc_id"] for r in rows])
+    return (top.join(meta, "doc_id")
+            .select("doc_id", F.round("score", 4).alias("score"),
+                    "lang", "source", "n_chars")
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
 NEAR_PHRASE = "dup scan"
 NEAR_WINDOW = 12
 
@@ -1043,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_page2": q_ft_bm25_page2,
         "ft_explain_score": q_ft_explain_score,
         "ft_near_match": q_ft_near_match,
+        "ft_topk_render": q_ft_topk_render,
         "tpch_q1": q_tpch_q1,
         "top3_lineitems": q_top3_lineitems,
         "customer_order_totals": q_customer_order_totals,
@@ -1610,6 +1637,11 @@ m AS (SELECT DISTINCT tfc.doc_id FROM tfc JOIN qt USING (term)
         AND tfc.doc_id NOT IN (SELECT doc_id FROM tfc
                                WHERE term = 'dup'))
 SELECT count(*)::BIGINT AS n_hits FROM m""",
+        # result rendering: top-k joined with doc-values metadata
+        "ft_topk_render": _bm25_sql(BM25_QUERY, 1.2, 0.75, BM25_K)
+        .replace("SELECT doc_id, round(s, 4) AS score FROM scores ",
+                 "SELECT doc_id, round(s, 4) AS score, lang, source, "
+                 "n_chars FROM scores JOIN documents USING (doc_id) "),
         # function-score: BM25 × (0.5 + doc_id%5 · 0.25) before top-k
         "ft_bm25_boosted": _bm25_sql(BM25_QUERY, 1.2, 0.75, BM25_K,
                                      boost_expr=BOOST_SQL),
