@@ -463,6 +463,27 @@ def q_ft_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
+DISMAX_TIE = 0.3
+
+
+def q_ft_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dis-max ("best_fields") cross-field ranking over the SAME
+    title/body field indexes as ft_bm25f_topk: each field scored as an
+    independent plain-BM25 query (own df/idf/avgdl), combined per doc
+    as max + tie·rest (query/bm25f.py::dismax_topk) — the other
+    standard multi-field combiner next to BM25F's pre-saturation sum.
+    The DuckDB twin recomputes both per-field rankings and the max."""
+    from review_recommender_spark.query.bm25f import (Bm25fField,
+                                                      dismax_topk)
+    idxs, _sio = _bm25f_setup(spark, sf_dir)
+    flds = [Bm25fField(idxs[0], weight=BM25F_WEIGHTS[0]),
+            Bm25fField(idxs[1], weight=BM25F_WEIGHTS[1])]
+    res = dismax_topk(spark, flds, BM25F_QUERY, k=BM25_K,
+                      tie_breaker=DISMAX_TIE)
+    return (res.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
 _DV_BUILT: set[str] = set()
 
 
@@ -1070,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_explain_score": q_ft_explain_score,
         "ft_near_match": q_ft_near_match,
         "ft_topk_render": q_ft_topk_render,
+        "ft_dismax_topk": q_ft_dismax_topk,
         "tpch_q1": q_tpch_q1,
         "top3_lineitems": q_top3_lineitems,
         "customer_order_totals": q_customer_order_totals,
@@ -1149,6 +1171,53 @@ FROM q JOIN idf USING (term) JOIN tfc USING (term)
        JOIN doclen ON tfc.doc_id = doclen.doc_id
 WHERE tfc.doc_id = {doc_id}
 ORDER BY contribution DESC, tfc.term"""
+
+
+def _dismax_sql(query: str, k1: float, b: float, k: int,
+                title_len: int, w0: float, w1: float, tie: float) -> str:
+    """SQL twin of ``query.bm25f.dismax_topk`` over the title/body
+    split: each field an INDEPENDENT plain BM25 (own df / ε-fixup idf /
+    avgdl over ALL docs), per-doc max + tie·other (2-field identity:
+    sum − max = min)."""
+    qtf = Counter(tokenize_k2_py(query))
+    vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
+
+    def fld(fid: int, sl: str) -> str:
+        return f"""
+t{fid} AS (SELECT doc_id, {sl} AS t FROM dtoks),
+dl{fid} AS (SELECT doc_id, len(t) AS dl FROM t{fid}),
+st{fid} AS (SELECT sum(dl)::double / (SELECT n FROM nn) AS avgdl
+            FROM dl{fid}),
+tf{fid} AS (SELECT doc_id, term, count(*) AS tf FROM
+            (SELECT doc_id, unnest(t) AS term FROM t{fid})
+            GROUP BY doc_id, term),
+df{fid} AS (SELECT term, count(*) AS df FROM tf{fid} GROUP BY term),
+ir{fid} AS (SELECT term, ln((SELECT n FROM nn) - df + 0.5)
+                         - ln(df + 0.5) AS raw FROM df{fid}),
+av{fid} AS (SELECT avg(raw) AS av FROM ir{fid}),
+idf{fid} AS (SELECT term, CASE WHEN raw < 0
+                               THEN 0.25 * (SELECT av FROM av{fid})
+                               ELSE raw END AS idf FROM ir{fid}),
+s{fid} AS (SELECT tf{fid}.doc_id,
+                  sum(idf{fid}.idf * q.qtf * tf{fid}.tf * ({k1} + 1)
+                      / (tf{fid}.tf + {k1} * (1 - {b} + {b} * dl{fid}.dl
+                         / (SELECT avgdl FROM st{fid})))) AS s
+           FROM q JOIN idf{fid} USING (term) JOIN tf{fid} USING (term)
+                  JOIN dl{fid} ON tf{fid}.doc_id = dl{fid}.doc_id
+           GROUP BY tf{fid}.doc_id)"""
+
+    return f"""
+WITH dtoks AS (SELECT doc_id, {K1SQL} AS toks FROM documents),
+nn AS (SELECT count(*) AS n FROM documents),
+q(term, qtf) AS (VALUES {vals}),{fld(0, f"list_slice(toks, 1, {title_len})")},{fld(1, f"list_slice(toks, {title_len} + 1, 100000000)")},
+m AS (SELECT coalesce(s0.doc_id, s1.doc_id) AS doc_id,
+             {w0} * coalesce(s0.s, 0) AS a,
+             {w1} * coalesce(s1.s, 0) AS bb
+      FROM s0 FULL OUTER JOIN s1 ON s0.doc_id = s1.doc_id)
+SELECT doc_id, round(greatest(a, bb) + {tie} * least(a, bb), 4) AS score
+FROM m
+ORDER BY greatest(a, bb) + {tie} * least(a, bb) DESC, doc_id
+LIMIT {k}"""
 
 
 def _bm25_sql(query: str, k1: float, b: float, k: int,
@@ -1637,6 +1706,10 @@ m AS (SELECT DISTINCT tfc.doc_id FROM tfc JOIN qt USING (term)
         AND tfc.doc_id NOT IN (SELECT doc_id FROM tfc
                                WHERE term = 'dup'))
 SELECT count(*)::BIGINT AS n_hits FROM m""",
+        # dis-max best-fields over the title/body split
+        "ft_dismax_topk": _dismax_sql(BM25F_QUERY, 1.2, 0.75, BM25_K,
+                                      BM25F_TITLE_LEN, *BM25F_WEIGHTS,
+                                      DISMAX_TIE),
         # result rendering: top-k joined with doc-values metadata
         "ft_topk_render": _bm25_sql(BM25_QUERY, 1.2, 0.75, BM25_K)
         .replace("SELECT doc_id, round(s, 4) AS score FROM scores ",

@@ -185,3 +185,58 @@ def bm25f_topk(spark: SparkSession, fields: list[Bm25fField],
     return (_fold_scores(partials, token_seq, ["doc_id"])
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k))
+
+
+def dismax_topk(spark: SparkSession, fields: list[Bm25fField],
+                query: str, k: int = 10,
+                tie_breaker: float = 0.0) -> DataFrame:
+    """Disjunction-max ("best_fields") cross-field ranking — the OTHER
+    standard multi-field combiner (Lucene DisjunctionMaxQuery /
+    Elasticsearch multi_match best_fields): each field is scored as an
+    INDEPENDENT plain-BM25 query against its own index (own df/idf/
+    avgdl — unlike BM25F's document-level idf and pre-saturation
+    combine), then per doc
+
+        score = max_f s_f + tie_breaker · Σ_{f ≠ argmax} s_f
+
+    ``tie_breaker=0`` is pure best-field (reduces to plain BM25 on a
+    single field — gated); ``1`` degrades to the naive sum. Field
+    ``weight`` multiplies that field's score before the max.
+
+    Plan shape: one bucket+term-pruned scan + fold per field (the exact
+    plan ×|fields|), one (doc)-keyed combine via a literal fid→score
+    map (greatest/sum in declared field order — deterministic float
+    expressions), one top-k. No driver loops."""
+    if not fields:
+        raise ValueError("dismax_topk needs at least one field")
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError("tie_breaker must be in [0, 1]")
+    from .bm25 import _score_weighted_blocks, weights_df
+    token_seq = tokenize_k2_py(query)
+    if not token_seq:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    per_field = None
+    for fid, fld in enumerate(fields):
+        w = weights_df(spark, fld.index, [query]).drop("query_id")
+        blocks = _query_blocks(spark, fld.index, sorted(set(token_seq)))
+        joined = blocks.join(F.broadcast(w), "term")
+        partials = _score_weighted_blocks(joined, fld.index, False)
+        scored = _fold_scores(partials, token_seq, ["doc_id"]) \
+            .select("doc_id",
+                    F.lit(fid).alias("fid"),
+                    (F.col("score") * float(fld.weight)).alias("fs"))
+        per_field = scored if per_field is None \
+            else per_field.unionByName(scored)
+    g = per_field.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("fid", "fs")))
+        .alias("__sm"))
+    cols = [F.coalesce(F.element_at(F.col("__sm"), F.lit(fid)),
+                       F.lit(0.0)) for fid in range(len(fields))]
+    best = cols[0] if len(cols) == 1 else F.greatest(*cols)
+    total = cols[0]
+    for c in cols[1:]:
+        total = total + c
+    score = best + F.lit(float(tie_breaker)) * (total - best)
+    return (g.select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))

@@ -146,3 +146,53 @@ def test_title_weight_boosts_title_hits_only(spark, fielded, page_texts):
             assert hi[d] == pytest.approx(lo[d], rel=1e-12), d
             n_body_only += 1
     assert n_title > 0 and n_body_only > 0  # both classes exercised
+
+
+# -------------------------------------------------------------- dis_max
+
+def _full_scores(spark, idx, q):
+    return {r["doc_id"]: r["score"] for r in
+            bm25_topk_exact(spark, idx, q, k=10 ** 6).collect()}
+
+
+def test_dismax_truth_and_tiebreaker(spark, fielded):
+    """dismax == max_f(weight_f · BM25_f) + tie · (sum − max), computed
+    from the per-field plain rankings."""
+    from review_recommender_spark.query.bm25f import dismax_topk
+    idxs, _sio = fielded
+    flds = [Bm25fField(idxs[0], weight=W_TITLE),
+            Bm25fField(idxs[1], weight=W_BODY)]
+    s0 = _full_scores(spark, idxs[0], Q)
+    s1 = _full_scores(spark, idxs[1], Q)
+    for tie in (0.0, 0.3):
+        want = {}
+        for d in set(s0) | set(s1):
+            a = W_TITLE * s0.get(d, 0.0)
+            b = W_BODY * s1.get(d, 0.0)
+            want[d] = max(a, b) + tie * (min(a, b))
+        top = sorted(want.items(), key=lambda x: (-x[1], x[0]))[:10]
+        got = [(r["doc_id"], r["score"]) for r in
+               dismax_topk(spark, flds, Q, k=10,
+                           tie_breaker=tie).collect()]
+        assert [d for d, _ in got] == [d for d, _ in top], tie
+        for (gd, gs), (wd, ws) in zip(got, top):
+            assert gs == pytest.approx(ws, rel=1e-12), tie
+
+
+def test_dismax_single_field_reduces_to_bm25(spark, fielded):
+    from review_recommender_spark.query.bm25f import dismax_topk
+    idxs, _sio = fielded
+    got = dismax_topk(spark, [Bm25fField(idxs[1], weight=1.0)], Q,
+                      k=10).collect()
+    want = bm25_topk_exact(spark, idxs[1], Q, k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] \
+        == [(r["doc_id"], r["score"]) for r in want]
+
+
+def test_dismax_guards(spark, fielded):
+    from review_recommender_spark.query.bm25f import dismax_topk
+    idxs, _sio = fielded
+    with pytest.raises(ValueError, match="tie_breaker"):
+        dismax_topk(spark, [Bm25fField(idxs[0])], Q, tie_breaker=1.5)
+    with pytest.raises(ValueError, match="at least one"):
+        dismax_topk(spark, [], Q)
