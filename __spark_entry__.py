@@ -463,6 +463,58 @@ def q_ft_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
+HIST_INTERVAL = 100.0
+
+
+def q_ft_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-facet numeric stats over the DSL match set (the `stats`
+    sub-aggregation): for each lang, n_docs + min/max/avg/sum of
+    n_chars — one semi-join + one facet-keyed groupBy with map-side
+    partials (query/facets.py::facet_stats)."""
+    from review_recommender_spark.index.positions import build_positions
+    from review_recommender_spark.query.facets import (dsl_match_docs,
+                                                       facet_stats)
+    idx = _doc_index(spark, sf_dir)
+    if sf_dir not in _POSITIONS_BUILT:
+        build_positions(spark, idx.io, idx.cfg)
+        _POSITIONS_BUILT.add(sf_dir)
+    match = dsl_match_docs(spark, idx, DSL_QUERY)
+    meta = _load(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "n_chars")
+    return facet_stats(match, meta, "lang", "n_chars", k=50)
+
+
+def q_ft_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram aggregation over the DSL match set: n_chars bucketed
+    at width 100 (floor(x/w)·w, empty buckets omitted — the ES
+    `histogram` contract), (bucket, n_docs) ascending
+    (query/facets.py::histogram)."""
+    from review_recommender_spark.index.positions import build_positions
+    from review_recommender_spark.query.facets import (dsl_match_docs,
+                                                       histogram)
+    idx = _doc_index(spark, sf_dir)
+    if sf_dir not in _POSITIONS_BUILT:
+        build_positions(spark, idx.io, idx.cfg)
+        _POSITIONS_BUILT.add(sf_dir)
+    match = dsl_match_docs(spark, idx, DSL_QUERY)
+    meta = _load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return histogram(match, meta, "n_chars", HIST_INTERVAL)
+
+
+def q_ft_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`top_hits` sub-aggregation: per lang, the 2 best-scoring docs of
+    the headline query's FULL ranking (rank by score DESC, doc_id ASC —
+    the engine's total order), facet-keyed window shuffle
+    (query/facets.py::top_hits_per_facet)."""
+    from review_recommender_spark.query.facets import top_hits_per_facet
+    idx = _doc_index(spark, sf_dir)
+    scored = bm25_topk_exact(spark, idx, BM25_QUERY, k=10 ** 6)
+    meta = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    res = top_hits_per_facet(scored, meta, "lang", n=2)
+    return res.select("value", "rank", "doc_id",
+                      F.round("score", 4).alias("score"))
+
+
 DISMAX_TIE = 0.3
 
 
@@ -1092,6 +1144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_near_match": q_ft_near_match,
         "ft_topk_render": q_ft_topk_render,
         "ft_dismax_topk": q_ft_dismax_topk,
+        "ft_facet_stats": q_ft_facet_stats,
+        "ft_histogram": q_ft_histogram,
+        "ft_top_hits": q_ft_top_hits,
         "tpch_q1": q_tpch_q1,
         "top3_lineitems": q_top3_lineitems,
         "customer_order_totals": q_customer_order_totals,
@@ -1706,6 +1761,51 @@ m AS (SELECT DISTINCT tfc.doc_id FROM tfc JOIN qt USING (term)
         AND tfc.doc_id NOT IN (SELECT doc_id FROM tfc
                                WHERE term = 'dup'))
 SELECT count(*)::BIGINT AS n_hits FROM m""",
+        # per-lang numeric stats over the DSL match set
+        "ft_facet_stats": f"""
+WITH m AS (
+  SELECT doc_id, lang, n_chars
+  FROM (SELECT doc_id, lang, n_chars, {K1SQL} AS toks FROM documents)
+  WHERE len(list_filter(toks,
+            t -> t IN ('scan', 'part', 'filter'))) > 0
+    AND len(list_filter(toks, t -> t = 'vector')) = 0
+    AND doc_id IN (SELECT doc_id FROM (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len({K1SQL}) - 1, 0)),
+        i -> array_to_string(list_slice({K1SQL}, i, i + 1), ' ')
+      )) AS gram FROM documents) WHERE gram = 'part filter'))
+SELECT lang AS value, count(*)::BIGINT AS n_docs,
+       min(n_chars)::double AS val_min, max(n_chars)::double AS val_max,
+       round(avg(n_chars), 6) AS val_avg,
+       round(sum(n_chars)::double, 6) AS val_sum
+FROM m GROUP BY lang ORDER BY n_docs DESC, value LIMIT 50""",
+        # n_chars histogram (width 100) over the DSL match set
+        "ft_histogram": f"""
+WITH m AS (
+  SELECT doc_id, lang, n_chars
+  FROM (SELECT doc_id, lang, n_chars, {K1SQL} AS toks FROM documents)
+  WHERE len(list_filter(toks,
+            t -> t IN ('scan', 'part', 'filter'))) > 0
+    AND len(list_filter(toks, t -> t = 'vector')) = 0
+    AND doc_id IN (SELECT doc_id FROM (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len({K1SQL}) - 1, 0)),
+        i -> array_to_string(list_slice({K1SQL}, i, i + 1), ' ')
+      )) AS gram FROM documents) WHERE gram = 'part filter'))
+SELECT floor(n_chars / {HIST_INTERVAL}) * {HIST_INTERVAL} AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM m GROUP BY bucket ORDER BY bucket LIMIT 1000""",
+        # per-lang top-2 of the headline query's full ranking
+        "ft_top_hits": _bm25_sql(BM25_QUERY, 1.2, 0.75, 10 ** 9)
+        .replace("SELECT doc_id, round(s, 4) AS score FROM scores ",
+                 "SELECT value, rank, doc_id, score FROM ("
+                 "SELECT lang AS value, doc_id, round(s, 4) AS score, "
+                 "row_number() OVER (PARTITION BY lang "
+                 "ORDER BY s DESC, doc_id) AS rank "
+                 "FROM scores JOIN documents USING (doc_id)) "
+                 "WHERE rank <= 2 ")
+        .replace("ORDER BY s DESC, doc_id LIMIT 1000000000",
+                 "ORDER BY value, rank"),
         # dis-max best-fields over the title/body split
         "ft_dismax_topk": _dismax_sql(BM25F_QUERY, 1.2, 0.75, BM25_K,
                                       BM25F_TITLE_LEN, *BM25F_WEIGHTS,

@@ -89,3 +89,66 @@ def facet_counts(match_docs: DataFrame, meta: DataFrame, col: str,
             .groupBy("value").agg(F.count("*").alias("n_docs"))
             .orderBy(F.desc("n_docs"), F.asc("value"))
             .limit(k))
+
+
+def facet_stats(match_docs: DataFrame, meta: DataFrame, key_col: str,
+                val_col: str, k: int = 50) -> DataFrame:
+    """Numeric aggregation panel per facet value over the match set —
+    the `stats` sub-aggregation of a search engine: for the top-``k``
+    values of ``meta.key_col``, (value, n_docs, min/max/avg/sum of
+    ``meta.val_col``), ordered (n_docs DESC, value ASC). Same cost
+    shape as ``facet_counts``: one semi-join bounded by the match set,
+    one facet-keyed shuffle with map-side partial aggregation —
+    never a corpus scan."""
+    return (meta.select("doc_id", F.col(key_col).alias("value"),
+                        F.col(val_col).cast("double").alias("__v"))
+            .join(match_docs.select("doc_id"), "doc_id", "left_semi")
+            .groupBy("value")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("__v").alias("val_min"),
+                 F.max("__v").alias("val_max"),
+                 F.round(F.avg("__v"), 6).alias("val_avg"),
+                 F.round(F.sum("__v"), 6).alias("val_sum"))
+            .orderBy(F.desc("n_docs"), F.asc("value"))
+            .limit(k))
+
+
+def histogram(match_docs: DataFrame, meta: DataFrame, col: str,
+              interval: float, k: int = 1000) -> DataFrame:
+    """Histogram aggregation over the match set: bucket =
+    floor(col / interval) · interval (the Elasticsearch `histogram`
+    contract, empty buckets omitted), (bucket, n_docs) ordered by
+    bucket ASC. One semi-join + one bucket-keyed groupBy."""
+    if interval <= 0:
+        raise ValueError("interval must be > 0")
+    bucket = (F.floor(F.col(col).cast("double") / F.lit(float(interval)))
+              * F.lit(float(interval)))
+    return (meta.select("doc_id", bucket.alias("bucket"))
+            .join(match_docs.select("doc_id"), "doc_id", "left_semi")
+            .groupBy("bucket").agg(F.count("*").alias("n_docs"))
+            .orderBy(F.asc("bucket"))
+            .limit(k))
+
+
+def top_hits_per_facet(scored: DataFrame, meta: DataFrame, key_col: str,
+                       n: int = 3, k_values: int = 50) -> DataFrame:
+    """The `top_hits` sub-aggregation: for each facet value, the top
+    ``n`` scored documents (rank by score DESC, doc_id ASC — the
+    engine's total result order). ``scored`` is any (doc_id, score)
+    frame (a match set's full ranking or a top-k). One join + one
+    window partitioned BY FACET VALUE — the partition count is the
+    value cardinality, so the shuffle is facet-keyed, never
+    corpus-keyed. Returns (value, rank, doc_id, score)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("value").orderBy(F.desc("score"),
+                                            F.asc("doc_id"))
+    vals = (meta.select("doc_id", F.col(key_col).alias("value"))
+            .join(scored.select("doc_id", "score"), "doc_id"))
+    ranked = (vals.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= n))
+    keep = (ranked.groupBy("value").agg(F.count("*").alias("__n"))
+            .orderBy(F.desc("__n"), F.asc("value")).limit(k_values)
+            .select("value"))
+    return (ranked.join(F.broadcast(keep), "value")
+            .select("value", "rank", "doc_id", "score")
+            .orderBy(F.asc("value"), F.asc("rank")))
