@@ -463,6 +463,24 @@ def q_ft_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
+SPELL_QUERY = "spark joinn scann batc performance"
+
+
+def q_ft_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean: per query token ABSENT from the vocabulary, the
+    best Levenshtein-1 correction in (distance, df DESC, term) order —
+    or null when hopeless ('performance' has no vocab neighbour at any
+    sf). One bounded dictionary scan per distinct unknown token
+    (query/expand.py::suggest_corrections); the DuckDB twin uses a
+    correlated levenshtein subquery over the retokenized vocabulary."""
+    from review_recommender_spark.query.expand import suggest_corrections
+    idx = _dict_index(spark, sf_dir)
+    sugg = suggest_corrections(spark, idx, SPELL_QUERY)
+    return spark.createDataFrame(
+        [(s["pos"], s["token"], s["suggestion"]) for s in sugg],
+        "pos int, token string, suggestion string")
+
+
 HIST_INTERVAL = 100.0
 
 
@@ -1147,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facet_stats": q_ft_facet_stats,
         "ft_histogram": q_ft_histogram,
         "ft_top_hits": q_ft_top_hits,
+        "ft_spell_suggest": q_ft_spell_suggest,
         "tpch_q1": q_tpch_q1,
         "top3_lineitems": q_top3_lineitems,
         "customer_order_totals": q_customer_order_totals,
@@ -1761,6 +1780,15 @@ m AS (SELECT DISTINCT tfc.doc_id FROM tfc JOIN qt USING (term)
         AND tfc.doc_id NOT IN (SELECT doc_id FROM tfc
                                WHERE term = 'dup'))
 SELECT count(*)::BIGINT AS n_hits FROM m""",
+        # did-you-mean per unknown query token
+        "ft_spell_suggest": _FT_BASE + f""",
+q(pos, tok) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in
+                                  enumerate(tokenize_k2_py(SPELL_QUERY)))})
+SELECT pos, tok AS token,
+       (SELECT term FROM dfc WHERE levenshtein(term, tok) <= 1
+        ORDER BY levenshtein(term, tok), df DESC, term LIMIT 1)
+       AS suggestion
+FROM q WHERE tok NOT IN (SELECT term FROM dfc) ORDER BY pos""",
         # per-lang numeric stats over the DSL match set
         "ft_facet_stats": f"""
 WITH m AS (

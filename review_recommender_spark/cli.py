@@ -215,6 +215,13 @@ def main(argv: list[str] | None = None) -> int:
             payload["n_hits"] = int(
                 dsl_match_count(spark, idx, args.query)
                 .collect()[0]["n_hits"])
+        from .query.expand import did_you_mean
+        from .query.parser import parse_query as _pq
+        plain = " ".join(_pq(args.query).free)
+        if plain:
+            fixed = did_you_mean(spark, idx, plain)
+            if fixed is not None:
+                payload["did_you_mean"] = fixed
         print(json.dumps(payload))
         return 0
 

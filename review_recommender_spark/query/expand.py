@@ -194,3 +194,55 @@ def more_like_this_doc(spark: SparkSession, index: InvertedIndex,
     return more_like_this(spark, index, rows[0]["text"] or "",
                           exclude_doc_id=doc_id,
                           max_terms=max_terms, k=k)
+
+
+def suggest_corrections(spark: SparkSession, index: InvertedIndex,
+                        query: str, max_dist: int = 1) -> list[dict]:
+    """Did-you-mean: for each K2 query token ABSENT from the index
+    vocabulary, the best fuzzy correction (distance ASC, df DESC, term
+    ASC — the same rewrite order as ``expand_fuzzy``), or None if no
+    vocabulary term is within ``max_dist``. Known tokens are never
+    "corrected" (the Elasticsearch `suggest` missing-mode contract).
+    Returns [{pos, token, suggestion}] in query order.
+
+    Cost: one driver idf-cache lookup (or one bucket-pruned stats job)
+    to split known/unknown, then ONE bounded dictionary scan per
+    distinct unknown token — query-sized, never corpus-sized."""
+    from ..functions.tokenize import tokenize_k2_py
+    toks = tokenize_k2_py(query)
+    if not toks:
+        return []
+    idf_map = index.idf_lookup()
+    if idf_map is not None:
+        known = {t for t in set(toks) if t in idf_map}
+    else:
+        rows = _term_stats_pruned(spark, index, sorted(set(toks))) \
+            .select("term").collect()
+        known = {r["term"] for r in rows}
+    cache: dict[str, str | None] = {}
+    out = []
+    for pos, tok in enumerate(toks):
+        if tok in known:
+            continue
+        if tok not in cache:
+            best = expand_fuzzy(spark, index, tok, max_dist=max_dist,
+                                max_terms=1)
+            cache[tok] = best[0] if best else None
+        out.append({"pos": pos, "token": tok,
+                    "suggestion": cache[tok]})
+    return out
+
+
+def did_you_mean(spark: SparkSession, index: InvertedIndex,
+                 query: str, max_dist: int = 1) -> str | None:
+    """The corrected query string with every correctable unknown token
+    replaced (uncorrectable ones kept verbatim), or None when nothing
+    needed correcting — the one-line "did you mean ...?" banner."""
+    sugg = suggest_corrections(spark, index, query, max_dist=max_dist)
+    fixes = {s["pos"]: s["suggestion"] for s in sugg
+             if s["suggestion"] is not None}
+    if not fixes:
+        return None
+    from ..functions.tokenize import tokenize_k2_py
+    toks = tokenize_k2_py(query)
+    return " ".join(fixes.get(i, t) for i, t in enumerate(toks))

@@ -107,3 +107,9 @@ def test_cli_expansion_surface(spark, tmp_path, capsys):
                      "-k", "5", "--count"]) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["results"] and res["n_hits"] >= len(res["results"])
+    assert "did_you_mean" not in res  # all free terms known
+    # a typoed free term surfaces the did-you-mean banner
+    assert cli_main(["dsl", "--index", idx, "-q", "wirelss bluetooth",
+                     "-k", "5"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["did_you_mean"] == "wireless bluetooth"

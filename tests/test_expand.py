@@ -266,3 +266,25 @@ def test_warm_routes_bitwise(spark, small_pages, small_index, term_df):
     assert [(r["doc_id"], r["score"]) for r in cold_mlt] \
         == [(r["doc_id"], r["score"]) for r in warm_mlt]
     assert cold_dsl and cold_mlt
+
+
+def test_suggest_corrections_truth(spark, small_index, term_df):
+    """Unknown tokens get the (dist, df desc, term) best neighbour;
+    known tokens are untouched; hopeless tokens suggest None."""
+    q = "wireless bluetooh keybored zzzqqq"
+    got = E.suggest_corrections(spark, small_index, q)
+    assert [s["token"] for s in got] == ["bluetooh", "keybored",
+                                        "zzzqqq"]
+    for s in got:
+        if s["suggestion"] is None:
+            assert not any(_lev(t, s["token"]) <= 1 for t in term_df)
+        else:
+            cands = [(t, n) for t, n in term_df.items()
+                     if _lev(t, s["token"]) <= 1]
+            cands.sort(key=lambda x: (_lev(x[0], s["token"]), -x[1],
+                                      x[0]))
+            assert s["suggestion"] == cands[0][0]
+    fixed = E.did_you_mean(spark, small_index, q)
+    assert fixed.startswith("wireless ") and "zzzqqq" in fixed
+    assert E.did_you_mean(spark, small_index, "wireless bluetooth") \
+        is None
