@@ -463,6 +463,33 @@ def q_ft_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
+def q_ft_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing: the single best result per source (the
+    dedupe-by-site contract), then the global top-k of the collapsed
+    set — one collapse-keyed window over the full ranking
+    (query/facets.py::collapse_topk)."""
+    from review_recommender_spark.query.facets import collapse_topk
+    idx = _doc_index(spark, sf_dir)
+    scored = bm25_topk_exact(spark, idx, BM25_QUERY, k=10 ** 6)
+    meta = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    res = collapse_topk(scored, meta, "source", k=BM25_K)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      "value")
+
+
+def q_ft_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-vectors point read for doc 7: (term, tf, positions) from
+    the Stage A checkpoint with doc_id pushdown — O(1) row groups
+    (query/bm25.py::term_vectors). Positions joined to a string so the
+    hash compare is representation-stable; the DuckDB twin retokenizes
+    the doc."""
+    from review_recommender_spark.query.bm25 import term_vectors
+    idx = _doc_index(spark, sf_dir)
+    res = term_vectors(spark, idx, EXPLAIN_DOC_ID)
+    return res.select("term", "tf",
+                      F.array_join("positions", ",").alias("positions"))
+
+
 SPELL_QUERY = "spark joinn scann batc performance"
 
 
@@ -1166,6 +1193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_histogram": q_ft_histogram,
         "ft_top_hits": q_ft_top_hits,
         "ft_spell_suggest": q_ft_spell_suggest,
+        "ft_term_vectors": q_ft_term_vectors,
+        "ft_collapse_topk": q_ft_collapse_topk,
         "tpch_q1": q_tpch_q1,
         "top3_lineitems": q_top3_lineitems,
         "customer_order_totals": q_customer_order_totals,
@@ -1780,6 +1809,24 @@ m AS (SELECT DISTINCT tfc.doc_id FROM tfc JOIN qt USING (term)
         AND tfc.doc_id NOT IN (SELECT doc_id FROM tfc
                                WHERE term = 'dup'))
 SELECT count(*)::BIGINT AS n_hits FROM m""",
+        # field collapsing: best doc per source, then global top-k
+        "ft_collapse_topk": _bm25_sql(BM25_QUERY, 1.2, 0.75, 10 ** 9)
+        .replace("SELECT doc_id, round(s, 4) AS score FROM scores ",
+                 "SELECT doc_id, round(s, 4) AS score, value FROM ("
+                 "SELECT doc_id, s, source AS value, "
+                 "row_number() OVER (PARTITION BY source "
+                 "ORDER BY s DESC, doc_id) AS r "
+                 "FROM scores JOIN documents USING (doc_id)) WHERE r = 1 ")
+        .replace("LIMIT 1000000000", f"LIMIT {BM25_K}"),
+        # term vectors point read for doc 7
+        "ft_term_vectors": f"""
+WITH t AS (SELECT {K1SQL} AS toks FROM documents
+           WHERE doc_id = {EXPLAIN_DOC_ID}),
+p AS (SELECT unnest(toks) AS term,
+             unnest(generate_series(1, len(toks))) AS pos FROM t)
+SELECT term, count(*)::BIGINT AS tf,
+       array_to_string(list_sort(list(pos - 1)), ',') AS positions
+FROM p GROUP BY term ORDER BY term""",
         # did-you-mean per unknown query token
         "ft_spell_suggest": _FT_BASE + f""",
 q(pos, tok) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in

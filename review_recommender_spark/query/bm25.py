@@ -428,6 +428,26 @@ def term_docs(spark: SparkSession, index: InvertedIndex,
     return blocks.mapInPandas(explode, schema="doc_id long")
 
 
+def term_vectors(spark: SparkSession, index: InvertedIndex,
+                 doc_id: int) -> DataFrame:
+    """Term-vectors for one document (the `_termvectors` debugging /
+    feature-extraction surface): (term, tf, positions) over the doc's
+    K1 token stream, positions 0-based in the kept-token sequence (the
+    same coordinate system as the positional table), ordered term ASC.
+
+    Served from the Stage A checkpoint (one packed row per doc) with a
+    pushed-down doc_id equality — an id-clustered point read, O(1) row
+    groups; no re-tokenize, no postings walk."""
+    from ..index.build import LOCAL_TF
+    row = (index.io.read(spark, LOCAL_TF)
+           .filter(F.col("doc_id") == int(doc_id)))
+    ex = row.select(F.posexplode("toks").alias("pos", "term"))
+    return (ex.groupBy("term")
+            .agg(F.count("*").cast("long").alias("tf"),
+                 F.sort_array(F.collect_list("pos")).alias("positions"))
+            .orderBy(F.asc("term")))
+
+
 def explain_score(spark: SparkSession, index: InvertedIndex, query,
                   doc_id: int) -> DataFrame:
     """Score explanation for one (query, document) pair — the `_explain`

@@ -152,3 +152,28 @@ def top_hits_per_facet(scored: DataFrame, meta: DataFrame, key_col: str,
     return (ranked.join(F.broadcast(keep), "value")
             .select("value", "rank", "doc_id", "score")
             .orderBy(F.asc("value"), F.asc("rank")))
+
+
+def collapse_topk(scored: DataFrame, meta: DataFrame, key_col: str,
+                  k: int = 10) -> DataFrame:
+    """Field collapsing (the ES `collapse` / web-search dedupe-by-site
+    contract): keep only the single best result per ``meta.key_col``
+    value (score DESC, doc_id ASC), then the global top-``k`` of the
+    collapsed set in the same order. Docs with a NULL key each form
+    their own group (never collapsed together). Returns
+    (doc_id, score, value).
+
+    One join + one key-partitioned window + top-k — the window shuffle
+    is collapse-keyed (site count), never corpus-keyed."""
+    from pyspark.sql import Window
+    key = F.coalesce(F.col(key_col).cast("string"),
+                     F.concat(F.lit("__null_"), F.col("doc_id")))
+    vals = (meta.select("doc_id", key.alias("value"))
+            .join(scored.select("doc_id", "score"), "doc_id"))
+    w = Window.partitionBy("value").orderBy(F.desc("score"),
+                                            F.asc("doc_id"))
+    return (vals.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("doc_id", "score", "value")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))

@@ -78,3 +78,26 @@ def test_explain_scan_is_interval_pruned(spark, small_index):
     # list itself is truncated in the plan string)
     assert re.search(r"first_doc_id#\d+L? <= 5", plan)
     assert re.search(r"last_doc_id#\d+L? >= 5", plan)
+
+
+def test_term_vectors_truth(spark, small_index, page_texts):
+    from review_recommender_spark.query.bm25 import term_vectors
+    toks = tokenize_k1_py(page_texts[11])
+    want = {}
+    for i, t in enumerate(toks):
+        want.setdefault(t, []).append(i)
+    got = term_vectors(spark, small_index, 11).collect()
+    assert [r["term"] for r in got] == sorted(want)
+    for r in got:
+        assert r["tf"] == len(want[r["term"]])
+        assert list(r["positions"]) == want[r["term"]]
+    assert term_vectors(spark, small_index, 10 ** 9).count() == 0
+
+
+def test_term_vectors_pushdown(spark, small_index):
+    from review_recommender_spark.index.build import LOCAL_TF
+    from pyspark.sql import functions as F
+    scan = (small_index.io.read(spark, LOCAL_TF)
+            .filter(F.col("doc_id") == 11))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "EqualTo(doc_id,11)" in plan

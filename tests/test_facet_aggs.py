@@ -82,3 +82,24 @@ def test_top_hits_per_facet_truth(spark, small_pages, small_index,
         want += [(lang, i + 1, d, s) for i, (d, s) in enumerate(top)]
     assert [(r["value"], r["rank"], r["doc_id"], r["score"])
             for r in got] == want and want
+
+
+def test_collapse_topk_truth(spark, small_pages, small_index, meta_rows):
+    from review_recommender_spark.query.facets import collapse_topk
+    scored = bm25_topk_exact(spark, small_index, "wireless bluetooth",
+                             k=10 ** 6)
+    meta = small_pages.select("doc_id", "lang")
+    got = collapse_topk(scored, meta, "lang", k=10).collect()
+    full = {r["doc_id"]: r["score"] for r in scored.collect()}
+    best = {}
+    for d, s in full.items():
+        lang = meta_rows[d][0]
+        cur = best.get(lang)
+        if cur is None or (s, -d) > (cur[1], -cur[0]):
+            best[lang] = (d, s)
+    want = sorted(((d, s, lang) for lang, (d, s) in best.items()),
+                  key=lambda x: (-x[1], x[0]))[:10]
+    assert [(r["doc_id"], r["score"], r["value"]) for r in got] == want
+    assert want
+    # each value appears at most once
+    assert len({r["value"] for r in got}) == len(got)
