@@ -139,15 +139,42 @@ def main() -> None:
               f"{'BITWISE-IDENTICAL' if bool_ok else 'MISMATCH'}",
               flush=True)
         ok &= bool_ok
+
+        # eighth path family (round 6c): search-after PAGING at scale —
+        # page 2 via the page-1 cursor must equal rows k+1..2k of the
+        # one-shot 2k ranking, and the served cursor route must match
+        # the exact cursor route bitwise (θ seeded post-cursor).
+        page_ok = True
+        for qi, q in enumerate(GOLDEN_PHRASES[:3]):
+            two = [(r["doc_id"], r["score"]) for r in
+                   bm25_topk_exact(spark, idx, q, k=2 * k).collect()]
+            cur = (two[k - 1][1], two[k - 1][0])
+            pe = [(r["doc_id"], r["score"]) for r in
+                  bm25_topk_exact(spark, idx, q, k=k,
+                                  after=cur).collect()]
+            ps = [(r["doc_id"], r["score"]) for r in
+                  bm25_topk_served(spark, idx, q, k=k,
+                                   after=cur).collect()]
+            same = pe == ps == two[k:]
+            page_ok &= same
+            if not same:
+                print(f"q{qi} paging MISMATCH:", pe, ps, two[k:])
+        print(f"paging (cursor page-2 exact/served vs 2k slice, "
+              f"3 queries): "
+              f"{'BITWISE-IDENTICAL' if page_ok else 'MISMATCH'}",
+              flush=True)
+        ok &= page_ok
         print(json.dumps({
             "n_docs": n_docs,
             "paths": ["exact", "pruned", "served(block-skip)",
                       "served(no-skip)", "served_batch",
-                      "served(partial-warm)", "boolean(served-vs-exact)"],
+                      "served(partial-warm)", "boolean(served-vs-exact)",
+                      "paging(cursor-vs-slice)"],
             "queries": len(GOLDEN_PHRASES),
             "bitwise_identical": sum(per_query),
             "partial_warm_ok": partial_ok,
             "boolean_ok": bool_ok,
+            "paging_ok": page_ok,
             "bitwise_ok": ok,
         }))
         sys.exit(0 if ok else 1)
