@@ -40,6 +40,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--profile", choices=["cli", "app"], default="cli")
     s.add_argument("--bm25-only", action="store_true",
                    help="skip the hybrid second pass (pure BM25 top-k)")
+    s.add_argument("--after", default=None,
+                   help="search-after cursor 'score:doc_id' (the last "
+                        "row of the previous page) — bm25-only mode")
     s.add_argument("--json-out", default=None)
     s.add_argument("--cores", type=int, default=None)
 
@@ -127,6 +130,24 @@ def main(argv: list[str] | None = None) -> int:
                     help="max interesting terms (tf·idf-top)")
     ml.add_argument("-k", type=int, default=10)
     ml.add_argument("--cores", type=int, default=None)
+
+    ex_ = sub.add_parser("explain", help="per-term score breakdown for "
+                                         "one (query, doc) pair")
+    ex_.add_argument("--index", required=True)
+    ex_.add_argument("-q", "--query", required=True)
+    ex_.add_argument("-d", "--doc", type=int, required=True)
+    ex_.add_argument("--vectors", action="store_true",
+                     help="also dump the doc's full term vectors "
+                          "(term, tf, positions)")
+    ex_.add_argument("--cores", type=int, default=None)
+
+    nr = sub.add_parser("near", help='proximity query: all words within '
+                                     'a token window ("sloppy phrase")')
+    nr.add_argument("--index", required=True)
+    nr.add_argument("-q", "--query", required=True)
+    nr.add_argument("-w", "--window", type=int, required=True)
+    nr.add_argument("-k", type=int, default=10)
+    nr.add_argument("--cores", type=int, default=None)
 
     args = ap.parse_args(argv)
 
@@ -267,10 +288,43 @@ def main(argv: list[str] | None = None) -> int:
                           "avgdl": merged.avgdl}))
         return 0
 
+    if args.cmd == "explain":
+        from .query.bm25 import explain_score, term_vectors
+        rows = explain_score(spark, idx, args.query, args.doc).collect()
+        payload = {
+            "query": args.query, "doc": args.doc,
+            "total": round(sum(r["contribution"] for r in rows), 4),
+            "terms": [{"term": r["term"], "qtf": int(r["qtf"]),
+                       "tf": int(r["tf"]), "dl": int(r["dl"]),
+                       "idf": round(r["idf"], 4),
+                       "contribution": round(r["contribution"], 4)}
+                      for r in rows]}
+        if args.vectors:
+            payload["vectors"] = [
+                {"term": r["term"], "tf": int(r["tf"]),
+                 "positions": list(r["positions"])}
+                for r in term_vectors(spark, idx, args.doc).collect()]
+        print(json.dumps(payload))
+        return 0
+
+    if args.cmd == "near":
+        from .index.positions import near_match
+        rows = near_match(spark, idx, args.query, args.window,
+                          k=args.k).collect()
+        print(json.dumps({
+            "query": args.query, "window": args.window,
+            "results": [{"doc_id": r["doc_id"],
+                         "min_span": int(r["min_span"])} for r in rows]}))
+        return 0
+
     if args.cmd == "search":
         if args.bm25_only:
+            after = None
+            if args.after:
+                sc, _, did = args.after.partition(":")
+                after = (float(sc), int(did))
             rows = bm25_topk_pruned(spark, idx, args.query,
-                                    k=args.k).collect()
+                                    k=args.k, after=after).collect()
             out = [{"doc_id": r["doc_id"], "score": round(r["score"], 4)}
                    for r in rows]
         else:

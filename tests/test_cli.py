@@ -113,3 +113,42 @@ def test_cli_expansion_surface(spark, tmp_path, capsys):
                      "-k", "5"]) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["did_you_mean"] == "wireless bluetooth"
+
+
+def test_cli_explain_near_paging(spark, tmp_path, capsys):
+    idx = str(tmp_path / "cli_ex_idx")
+    assert cli_main(["build", "--corpus", "synth:300",
+                     "--index", idx]) == 0
+    capsys.readouterr()
+    # full first page, then the cursor page must continue seamlessly
+    assert cli_main(["search", "--index", idx, "--corpus", "synth:300",
+                     "-q", "wireless bluetooth", "--bm25-only",
+                     "-k", "5"]) == 0
+    text = capsys.readouterr().out
+    import re
+    first = re.findall(r"doc (\d+)\s+score=([0-9.]+)", text)
+    assert len(first) == 5
+    assert cli_main(["search", "--index", idx, "--corpus", "synth:300",
+                     "-q", "wireless bluetooth", "--bm25-only",
+                     "-k", "5",
+                     "--after", f"{first[-1][1]}:{first[-1][0]}"]) == 0
+    text2 = capsys.readouterr().out
+    second = re.findall(r"doc (\d+)\s+score=([0-9.]+)", text2)
+    assert second and not ({d for d, _ in first} & {d for d, _ in second})
+    # explain: contributions sum to the doc's score
+    top_doc = first[0][0]
+    assert cli_main(["explain", "--index", idx,
+                     "-q", "wireless bluetooth", "-d", top_doc,
+                     "--vectors"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["terms"] and abs(
+        res["total"] - float(first[0][1])) < 1e-3
+    assert res["vectors"]
+    # near
+    assert cli_main(["build-positions", "--index", idx]) == 0
+    capsys.readouterr()
+    assert cli_main(["near", "--index", idx,
+                     "-q", "wireless headphones", "-w", "8"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["results"] and all(r["min_span"] <= 8
+                                  for r in res["results"])
