@@ -232,3 +232,23 @@ def test_dsl_near_constraint(spark, pos_index, page_texts):
     best = sorted(((d, full.get(d, 0.0)) for d in allowed),
                   key=lambda x: (-x[1], x[0]))[:10]
     assert [(r["doc_id"], r["score"]) for r in got] == best
+
+
+def test_dsl_match_count_with_near(spark, pos_index, page_texts):
+    """The boolean match set behind facets/counts honours the ~N
+    constraint: count == driver recount of (≥1 ranking term) ∧
+    (min_span ≤ N)."""
+    from review_recommender_spark.query.facets import dsl_match_count
+    from tests.test_positions import _truth_min_span
+    q = 'socks "wireless headphones"~6'
+    n = dsl_match_count(spark, pos_index, q).collect()[0]["n_hits"]
+    rank = {"socks", "wireless", "headphones"}
+    want = 0
+    for _d, text in page_texts.items():
+        toks = set(tokenize_k1_py(text))
+        if not toks & rank:
+            continue
+        s = _truth_min_span(text, "wireless headphones")
+        if s is not None and s <= 6:
+            want += 1
+    assert n == want > 0
