@@ -560,6 +560,22 @@ def q_ft_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 4).alias("score"))
 
 
+SIGTERM_FG = "dup"
+
+
+def q_ft_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant-terms panel over the docs containing 'dup' (the
+    corpus' rare topical term): JLH = (fg−bg)·(fg/bg) vs the whole
+    corpus, noise floor 2 docs — "what is unusual about these results"
+    (query/facets.py::significant_terms). The DuckDB twin recomputes
+    fg/df rates from retokenization."""
+    from review_recommender_spark.query.bm25 import term_docs
+    from review_recommender_spark.query.facets import significant_terms
+    idx = _doc_index(spark, sf_dir)
+    match = term_docs(spark, idx, SIGTERM_FG)
+    return significant_terms(spark, idx, match, k=15, min_doc_count=2)
+
+
 DISMAX_TIE = 0.3
 
 
@@ -1195,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_spell_suggest": q_ft_spell_suggest,
         "ft_term_vectors": q_ft_term_vectors,
         "ft_collapse_topk": q_ft_collapse_topk,
+        "ft_significant_terms": q_ft_significant_terms,
         "tpch_q1": q_tpch_q1,
         "top3_lineitems": q_top3_lineitems,
         "customer_order_totals": q_customer_order_totals,
@@ -1809,6 +1826,20 @@ m AS (SELECT DISTINCT tfc.doc_id FROM tfc JOIN qt USING (term)
         AND tfc.doc_id NOT IN (SELECT doc_id FROM tfc
                                WHERE term = 'dup'))
 SELECT count(*)::BIGINT AS n_hits FROM m""",
+        # significant terms vs corpus background for the 'dup' doc set
+        "ft_significant_terms": _FT_BASE + f""",
+fgset AS (SELECT DISTINCT doc_id FROM tfc WHERE term = '{SIGTERM_FG}'),
+nfg AS (SELECT count(*) AS c FROM fgset),
+fg AS (SELECT term, count(*) AS fg_count FROM tfc
+       JOIN fgset USING (doc_id) GROUP BY term
+       HAVING count(*) >= 2)
+SELECT fg.term, fg.fg_count, dfc.df,
+       round((fg.fg_count::double / (SELECT c FROM nfg)
+              - dfc.df::double / (SELECT n FROM stats))
+             * ((fg.fg_count::double / (SELECT c FROM nfg))
+                / (dfc.df::double / (SELECT n FROM stats))), 6) AS jlh
+FROM fg JOIN dfc USING (term)
+ORDER BY jlh DESC, fg.term LIMIT 15""",
         # field collapsing: best doc per source, then global top-k
         "ft_collapse_topk": _bm25_sql(BM25_QUERY, 1.2, 0.75, 10 ** 9)
         .replace("SELECT doc_id, round(s, 4) AS score FROM scores ",

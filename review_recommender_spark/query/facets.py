@@ -177,3 +177,50 @@ def collapse_topk(scored: DataFrame, meta: DataFrame, key_col: str,
             .select("doc_id", "score", "value")
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k))
+
+
+def significant_terms(spark: SparkSession, index: InvertedIndex,
+                      match_docs: DataFrame, k: int = 20,
+                      min_doc_count: int = 3) -> DataFrame:
+    """Significant-terms aggregation (the ES panel answering "what is
+    UNUSUAL about these results?"): for every index term, compare its
+    rate in the match set (foreground) against the whole corpus
+    (background) and keep the top ``k`` by the JLH score
+
+        fg = fg_count / n_matched,  bg = df / n_docs
+        jlh = (fg − bg) · (fg / bg)
+
+    (absolute lift × relative lift — Elasticsearch's default heuristic).
+    Returns (term, fg_count, df, jlh) ordered (jlh DESC, term ASC);
+    terms seen in fewer than ``min_doc_count`` matched docs are dropped
+    (noise floor).
+
+    Plan shape: one semi-join of the Stage A checkpoint (one packed row
+    per doc) against the match set — so the explode is bounded by the
+    MATCHED docs' tokens, not the corpus — then a term-keyed count with
+    map-side partials, a broadcast-able join against vocab-sized
+    term_stats, and a top-k. The checkpoint scan itself is corpus-wide
+    (every doc's row is tested against the semi-join), which is the
+    honest cost of this aggregation in any engine; it column-prunes to
+    (doc_id, toks) and never touches postings or raw text."""
+    from ..index.build import LOCAL_TF
+    n_docs = index.n_docs
+    m = match_docs.select("doc_id")
+    fg_total = m.count()
+    if fg_total == 0:
+        return spark.createDataFrame(
+            [], "term string, fg_count long, df long, jlh double")
+    toks = (index.io.read(spark, LOCAL_TF).select("doc_id", "toks")
+            .join(m, "doc_id", "left_semi")
+            .select(F.explode(F.array_distinct("toks")).alias("term")))
+    fg = toks.groupBy("term").agg(F.count("*").alias("fg_count")) \
+        .filter(F.col("fg_count") >= min_doc_count)
+    stats = index.term_stats(spark).select("term", "df")
+    fg_rate = F.col("fg_count") / F.lit(float(fg_total))
+    bg_rate = F.col("df") / F.lit(float(n_docs))
+    jlh = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+    return (fg.join(stats, "term")
+            .select("term", "fg_count", "df",
+                    F.round(jlh, 6).alias("jlh"))
+            .orderBy(F.desc("jlh"), F.asc("term"))
+            .limit(k))

@@ -103,3 +103,44 @@ def test_collapse_topk_truth(spark, small_pages, small_index, meta_rows):
     assert want
     # each value appears at most once
     assert len({r["value"] for r in got}) == len(got)
+
+
+def test_significant_terms_truth(spark, small_index, small_pages_pdf):
+    """JLH ground truth from driver retokenization; the planted query
+    words must surface as significant for their own match set."""
+    from review_recommender_spark.query.bm25 import term_docs
+    from review_recommender_spark.query.facets import significant_terms
+    match = term_docs(spark, small_index, "bluetooth")
+    got = significant_terms(spark, small_index, match, k=15,
+                            min_doc_count=2).collect()
+    assert got
+    texts = dict(zip(small_pages_pdf["doc_id"], small_pages_pdf["text"]))
+    n_docs = len(texts)
+    fg_ids = {d for d, t in texts.items()
+              if "bluetooth" in tokenize_k1_py(t)}
+    from collections import Counter
+    fg_cnt, df_cnt = Counter(), Counter()
+    for d, t in texts.items():
+        toks = set(tokenize_k1_py(t))
+        df_cnt.update(toks)
+        if d in fg_ids:
+            fg_cnt.update(toks)
+    scored = []
+    for term, fgc in fg_cnt.items():
+        if fgc < 2:
+            continue
+        fg = fgc / len(fg_ids)
+        bg = df_cnt[term] / n_docs
+        scored.append((term, fgc, df_cnt[term],
+                       round((fg - bg) * (fg / bg), 6)))
+    scored.sort(key=lambda x: (-x[3], x[0]))
+    assert [(r["term"], r["fg_count"], r["df"], r["jlh"])
+            for r in got] == scored[:15]
+    # the defining term of the match set is the most significant
+    assert got[0]["term"] == "bluetooth"
+
+
+def test_significant_terms_empty_match(spark, small_index):
+    from review_recommender_spark.query.facets import significant_terms
+    empty = spark.createDataFrame([], "doc_id long")
+    assert significant_terms(spark, small_index, empty).count() == 0
