@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from review_recommender_spark.config import EngineConfig, bm25_north
 from review_recommender_spark.functions.tokenize import (k1_sql_duckdb,
                                                          tokenize_k1_col,
+                                                         tokenize_k1_py,
                                                          tokenize_k2_py)
 from review_recommender_spark.index.build import build_index, InvertedIndex
 from review_recommender_spark.index.codec import decode_block
@@ -558,6 +559,34 @@ def q_ft_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = top_hits_per_facet(scored, meta, "lang", n=2)
     return res.select("value", "rank", "doc_id",
                       F.round("score", 4).alias("score"))
+
+
+PERC_RULES = [
+    (1, "scan join"),
+    (2, "+dup -vector"),
+    (3, '"part filter"'),
+    (4, "table -scan"),
+    (5, "+scan +join +part"),
+    (6, 'vector "part filter" -dup'),
+]
+
+
+PERC_DOC_ID = 357
+
+
+def q_ft_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation (reverse search): which stored DSL rules does doc 357
+    trigger — the rules table scans map-only with the doc's token set
+    as a literal, pure JVM array predicates, corpus never touched
+    (query/percolate.py). The DuckDB twin evaluates the same pre-parsed
+    rules against the retokenized doc."""
+    from review_recommender_spark.query.percolate import (parse_queries_df,
+                                                          percolate)
+    docs = _load(spark, sf_dir, "documents")
+    text = docs.filter(F.col("doc_id") == PERC_DOC_ID) \
+        .select("text").collect()[0]["text"]
+    qdf = parse_queries_df(spark, PERC_RULES)
+    return percolate(spark, qdf, text)
 
 
 SIGTERM_FG = "dup"
@@ -1212,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_term_vectors": q_ft_term_vectors,
         "ft_collapse_topk": q_ft_collapse_topk,
         "ft_significant_terms": q_ft_significant_terms,
+        "ft_percolate": q_ft_percolate,
         "tpch_q1": q_tpch_q1,
         "top3_lineitems": q_top3_lineitems,
         "customer_order_totals": q_customer_order_totals,
@@ -1338,6 +1368,45 @@ SELECT doc_id, round(greatest(a, bb) + {tie} * least(a, bb), 4) AS score
 FROM m
 ORDER BY greatest(a, bb) + {tie} * least(a, bb) DESC, doc_id
 LIMIT {k}"""
+
+
+def _percolate_sql(doc_id: int) -> str:
+    """SQL twin of ``query.percolate.percolate`` over the PERC_RULES
+    literal (pre-parsed with the same tokenizers at import time)."""
+    from review_recommender_spark.query.parser import parse_query
+    rows = []
+    for qid, q in PERC_RULES:
+        pq = parse_query(q)
+
+        def lst(xs):
+            return ("[" + ", ".join("'" + x.replace("'", "''") + "'"
+                                    for x in xs) + "]::VARCHAR[]")
+        rows.append(
+            f"({qid}, "
+            f"{lst(tokenize_k2_py(' '.join(pq.free)))}, "
+            f"{lst([t for w in pq.required for t in tokenize_k1_py(w)])}, "
+            f"{lst([t for w in pq.excluded for t in tokenize_k1_py(w)])}, "
+            f"{lst([' '.join(tokenize_k1_py(p)) for p in pq.phrases])})")
+    vals = ",\n       ".join(rows)
+    return f"""
+WITH d AS (SELECT {K1SQL} AS toks FROM documents WHERE doc_id = {doc_id}),
+ds AS (SELECT list_distinct(toks) AS tset,
+              ' ' || array_to_string(toks, ' ') || ' ' AS stream FROM d),
+q(query_id, ranking, required, excluded, phrases) AS (VALUES
+       {vals})
+SELECT query_id,
+       len(list_intersect(ranking, tset))::BIGINT AS n_ranking_hits
+FROM q CROSS JOIN ds
+WHERE (len(list_intersect(ranking, tset)) > 0
+       OR (len(ranking) = 0
+           AND (len(phrases) > 0 OR len(required) > 0)))
+  AND len(list_filter(required,
+          t -> NOT list_contains(tset, t))) = 0
+  AND len(list_filter(excluded,
+          t -> list_contains(tset, t))) = 0
+  AND len(list_filter(phrases,
+          p -> NOT contains(stream, ' ' || p || ' '))) = 0
+ORDER BY n_ranking_hits DESC, query_id"""
 
 
 def _bm25_sql(query: str, k1: float, b: float, k: int,
@@ -1826,6 +1895,8 @@ m AS (SELECT DISTINCT tfc.doc_id FROM tfc JOIN qt USING (term)
         AND tfc.doc_id NOT IN (SELECT doc_id FROM tfc
                                WHERE term = 'dup'))
 SELECT count(*)::BIGINT AS n_hits FROM m""",
+        # percolation: stored rules triggered by doc 7
+        "ft_percolate": _percolate_sql(PERC_DOC_ID),
         # significant terms vs corpus background for the 'dup' doc set
         "ft_significant_terms": _FT_BASE + f""",
 fgset AS (SELECT DISTINCT doc_id FROM tfc WHERE term = '{SIGTERM_FG}'),
