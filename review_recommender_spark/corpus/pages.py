@@ -266,7 +266,11 @@ def pages_pdf(doc_ids: np.ndarray, bursty: bool = False,
         n_tok = np.add.reduceat(rep, np.concatenate(
             [[0], np.cumsum(n_tok)[:-1]]))
     bounds = np.concatenate([[0], np.cumsum(n_tok)])
-    texts = [" ".join(words[bounds[i]:bounds[i + 1]]) for i in range(n)]
+    # materialize plain Python strings ONCE (tolist), then join per doc:
+    # str.join over numpy str_ objects re-wraps every element and
+    # dominated corpus synthesis (~60% of pages_pdf)
+    wl = words.tolist()
+    texts = [" ".join(wl[bounds[i]:bounds[i + 1]]) for i in range(n)]
 
     # plant golden phrases — graded relevance plus two hard-negative
     # families so the eval discriminates methods (a contiguous-phrase-only

@@ -544,9 +544,11 @@ def near_match(spark: SparkSession, index: InvertedIndex, phrase: str,
     occurrence index (np.maximum.accumulate), and for every end
     position take the window starting at the MINIMUM of those
     last-occurrence indices — the classic optimal sliding window, so
-    per-doc min_span is exact. A window can never leak across
-    documents: keys of different docs differ by ≥ 2^13 > token_cap ≥
-    any real span, so a cross-doc "span" always exceeds ``window``."""
+    per-doc min_span is exact. Cross-document windows are masked
+    explicitly in the kernel: adjacent docs' packed keys can differ by
+    as little as _POS_MULT − token_cap + 1 (3193 at the default cap),
+    which a large legal ``window`` could straddle, so every qualifying
+    span additionally requires its start and end key to share a doc."""
     if index.cfg.index.token_cap > int(_POS_MULT):
         raise ValueError(
             f"near_match: token_cap {index.cfg.index.token_cap} exceeds "
@@ -594,18 +596,34 @@ def near_match(spark: SparkSession, index: InvertedIndex, phrase: str,
         keys, labels = keys[order], labels[order]
         n = len(keys)
         idx = np.arange(n, dtype=np.int64)
-        # last occurrence index of each label at or before j (−1 = none)
-        last = np.full((m, n), -1, dtype=np.int64)
+        # last occurrence index of each label at or before j (−1 = none),
+        # folded into ONE running minimum — O(n) extra memory instead of
+        # an (m, n) matrix (multi-GB per task for high-df terms at scale)
+        start = None
+        row = np.empty(n, dtype=np.int64)
         for lbl in range(m):
-            row = np.where(labels == lbl, idx, np.int64(-1))
-            last[lbl] = np.maximum.accumulate(row)
-        start = last.min(axis=0)
+            np.copyto(row, idx)
+            row[labels != lbl] = -1
+            np.maximum.accumulate(row, out=row)
+            if start is None:
+                start = row.copy()
+            else:
+                np.minimum(start, row, out=start)
         valid = start >= 0
         if not valid.any():
             return
         span = np.full(n, np.int64(1) << 62, dtype=np.int64)
         span[valid] = keys[valid] - keys[start[valid]]
         ok = span <= win
+        # mask windows whose START lies in a PREVIOUS document: adjacent
+        # docs' packed keys can differ by as little as
+        # _POS_MULT − token_cap + 1 (< any window ≥ 3193 at the default
+        # cap), so a span ≤ window may straddle a doc boundary — such an
+        # end position has some term with NO occurrence in its own doc
+        # at/before it (else that occurrence would be the later start),
+        # hence no legal same-doc window ends there at all.
+        ok[valid] &= (keys[valid] // _POS_MULT
+                      == keys[start[valid]] // _POS_MULT)
         if not ok.any():
             return
         docs = keys[ok] // _POS_MULT

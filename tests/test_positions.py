@@ -415,3 +415,34 @@ def test_near_match_guards(spark, pos_index):
     with pytest.raises(ValueError, match="window"):
         near_match(spark, pos_index, "a b", -1)
     assert near_match(spark, pos_index, "", 5).count() == 0
+
+
+def test_near_match_no_cross_doc_window_leak(spark, tmp_path):
+    """ADVICE r6: adjacent docs' packed keys can differ by as little as
+    _POS_MULT − token_cap + 1 (3194 here), so a window ≥ that gap used to
+    admit a doc via a span that STARTED in the previous document — silent
+    wrong results for large legal windows. The kernel now masks cross-doc
+    starts: a doc lacking one of the terms must never match, whatever the
+    window."""
+    from review_recommender_spark.config import EngineConfig, bm25_north
+    from review_recommender_spark.index.build import build_index
+    from review_recommender_spark.index.positions import (build_positions,
+                                                          near_match)
+    from review_recommender_spark.index.tableio import TableIO
+
+    pad = " ".join(["pad"] * 4998)
+    rows = [
+        (0, pad + " alpha"),          # alpha at kept-pos 4998, no beta
+        (1, "beta " + pad),           # beta at kept-pos 0, no alpha
+        (2, "alpha " + " ".join(["pad"] * 50) + " beta"),  # true span 51
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = EngineConfig(bm25=bm25_north())
+    idx = build_index(spark, docs, TableIO(str(tmp_path / "leak")), cfg)
+    build_positions(spark, idx.io, cfg)
+    # cross-doc gap between doc 0's alpha and doc 1's beta is
+    # 8192 − 4998 = 3194 ≤ window: docs 0/1 must still NOT match
+    got = {r["doc_id"]: r["min_span"]
+           for r in near_match(spark, idx, "alpha beta", 4000,
+                               k=100).collect()}
+    assert got == {2: 51}
