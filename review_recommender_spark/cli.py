@@ -41,8 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--bm25-only", action="store_true",
                    help="skip the hybrid second pass (pure BM25 top-k)")
     s.add_argument("--after", default=None,
-                   help="search-after cursor 'score:doc_id' (the last "
-                        "row of the previous page) — bm25-only mode")
+                   help="search-after cursor 'score:doc_id' — pass the "
+                        "previous page's printed `next_after` VERBATIM "
+                        "(it carries the unrounded score; a rounded "
+                        "cursor duplicates or skips boundary docs) — "
+                        "bm25-only mode")
     s.add_argument("--json-out", default=None)
     s.add_argument("--cores", type=int, default=None)
 
@@ -327,6 +330,15 @@ def main(argv: list[str] | None = None) -> int:
                                     k=args.k, after=after).collect()
             out = [{"doc_id": r["doc_id"], "score": round(r["score"], 4)}
                    for r in rows]
+            if rows:
+                # machine-readable cursor for the next page: --after needs
+                # the UNROUNDED last-row score (a rounded cursor either
+                # re-includes or skips boundary docs) — pass this value
+                # verbatim as `search --bm25-only --after <next_after>`
+                last = rows[-1]
+                out_cursor = f"{last['score']!r}:{last['doc_id']}"
+            else:
+                out_cursor = None
         else:
             profile = cli_profile() if args.profile == "cli" else app_profile()
             profile = dataclasses.replace(profile, rerank_k=args.rerank_k,
@@ -352,9 +364,15 @@ def main(argv: list[str] | None = None) -> int:
             extras = "  ".join(f"{k}={v}" for k, v in r.items()
                                if k not in ("doc_id", "score"))
             print(f"[{i}] doc {r['doc_id']}  score={r['score']}  {extras}")
+        payload = {"query": args.query, "results": out}
+        if args.bm25_only and out:
+            # repr() keeps the full float: the displayed score is rounded,
+            # but the cursor must be exact (ADVICE r6)
+            payload["next_after"] = out_cursor
+            print(f"next_after: {out_cursor}")
         if args.json_out:
             with open(args.json_out, "w") as f:
-                json.dump({"query": args.query, "results": out}, f, indent=2)
+                json.dump(payload, f, indent=2)
             print(f"[ok] wrote {args.json_out}")
         return 0
 

@@ -614,7 +614,8 @@ def build_index(spark: SparkSession, docs: DataFrame | str, io: TableIO,
                 cfg: EngineConfig | None = None, *, doc_id_col: str = "doc_id",
                 text_col: str = "text", n_chunks: int = 1,
                 resume: bool = True, shuffle_partitions: int | None = None,
-                input_fingerprint: str | None = None) -> InvertedIndex:
+                input_fingerprint: str | None = None,
+                stage_timings: dict | None = None) -> InvertedIndex:
     """``docs`` may be a DataFrame or a parquet directory path. PASS THE
     PATH for chunked builds: each Stage A chunk then reads only its own
     slice of the input files (scan-aligned resume — total input read is
@@ -623,6 +624,17 @@ def build_index(spark: SparkSession, docs: DataFrame | str, io: TableIO,
     PER CHUNK because pmod is not pushable — fine at test scale, a
     scale-killer on the 100-TB table the checkpointing exists for."""
     cfg = cfg or EngineConfig()
+    import time as _time
+    _t = {"_last": _time.perf_counter()}
+
+    def _mark(stage: str) -> None:
+        # per-stage wall seconds when the caller wants them (guide §1:
+        # measure first) — a plain dict fill, zero cost otherwise
+        if stage_timings is not None:
+            now = _time.perf_counter()
+            stage_timings[stage] = round(now - _t["_last"], 3)
+            _t["_last"] = now
+
     docs_path = docs if isinstance(docs, str) else None
     file_groups: list[list[str]] | None = None
     files_digest = None
@@ -659,6 +671,7 @@ def build_index(spark: SparkSession, docs: DataFrame | str, io: TableIO,
         writer.write_chunk(tf_df, i)
     writer.finalize(lineage={"stage": "A", "source": "docs"},
                     metrics={})
+    _mark("stage_a")
 
     local_tf = io.read(spark, LOCAL_TF)
 
@@ -671,6 +684,7 @@ def build_index(spark: SparkSession, docs: DataFrame | str, io: TableIO,
              lineage={"parent": io.current_snapshot(LOCAL_TF)["snapshot_id"]},
              metrics={})
     n_docs, total_tokens, avgdl = _doc_scalars(spark, io, cfg)
+    _mark("stage_b")
 
     # ---- Stage C: the (term, range) shuffle → encoded posting blocks ----
     if shuffle_partitions is None:
@@ -707,8 +721,11 @@ def build_index(spark: SparkSession, docs: DataFrame | str, io: TableIO,
              lineage={"parent": io.current_snapshot(LOCAL_TF)["snapshot_id"],
                       "shuffle_partitions": shuffle_partitions},
              metrics={})
+    _mark("stage_c")
 
-    return _write_stats_tables(spark, io, cfg, n_docs, avgdl, total_tokens)
+    out = _write_stats_tables(spark, io, cfg, n_docs, avgdl, total_tokens)
+    _mark("stage_d")
+    return out
 
 
 def _doc_scalars(spark: SparkSession, io: TableIO,

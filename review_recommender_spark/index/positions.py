@@ -414,6 +414,49 @@ def build_positions(spark: SparkSession, io: TableIO,
 
 # --------------------------------------------------------------- query
 
+def _decode_pos_rows_bulk(it):
+    """Gather a kernel's position-block rows and decode them in ONE
+    varint pass per column (the ``_pos_blocks_to_partials`` pattern,
+    r7: replaces the per-row ``decode_pos_block`` loop). Returns
+    ``(keys, code_per_pos, uniq_terms)`` — packed ``doc·2^13 + pos``
+    int64 keys for every position, each position's term code, and the
+    factorized term list — or None when the partition is empty.
+    Identical values to the per-row decode: integer cumsums reset per
+    block/doc via base subtraction."""
+    frames = [pdf for pdf in it if len(pdf)]
+    if not frames:
+        return None
+    pdf = frames[0] if len(frames) == 1 \
+        else pd.concat(frames, ignore_index=True)
+    ns = pdf["n"].to_numpy(dtype=np.int64)            # docs per block
+    total = int(ns.sum())
+    deltas = varint_decode(b"".join(pdf["doc_bytes"]),
+                           total).astype(np.int64)
+    bstarts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    c = np.cumsum(deltas)
+    base = np.zeros(len(ns), dtype=np.int64)
+    base[1:] = c[bstarts[1:] - 1]
+    docs = c - np.repeat(base, ns)
+    counts = varint_decode(b"".join(pdf["cnt_bytes"]),
+                           total).astype(np.int64)
+    totpos = int(counts.sum())
+    pdeltas = varint_decode(b"".join(pdf["pos_bytes"]),
+                           totpos).astype(np.int64)
+    # positions: grouped cumsum resetting at each DOC start
+    dstarts = np.zeros(total, dtype=np.int64)
+    np.cumsum(counts[:-1], out=dstarts[1:])
+    pc = np.cumsum(pdeltas)
+    pbase = np.zeros(totpos, dtype=np.int64)
+    s = dstarts[counts > 0]
+    pbase[s] = pc[s] - pdeltas[s]
+    np.maximum.accumulate(pbase, out=pbase)
+    pos = pc - pbase
+    keys = np.repeat(docs, counts) * _POS_MULT + pos
+    codes, uniq_terms = pd.factorize(pdf["term"].to_numpy())
+    code_per_pos = np.repeat(
+        np.repeat(codes, ns), counts)
+    return keys, code_per_pos, list(uniq_terms)
+
 def warm_positions(spark: SparkSession, index: InvertedIndex,
                    serving_shards: int | None = None) -> None:
     """Pin the positions table in executor memory re-sharded by range_id
@@ -488,20 +531,15 @@ def phrase_match(spark: SparkSession, index: InvertedIndex, phrase: str,
                           & F.col("term").isin(terms)))
 
     def match(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        by_term: dict[str, list[np.ndarray]] = {t: [] for t in toks}
-        for pdf in it:
-            for term, n, db, cb, pb in zip(pdf["term"], pdf["n"],
-                                           pdf["doc_bytes"],
-                                           pdf["cnt_bytes"],
-                                           pdf["pos_bytes"]):
-                docs, counts, pos = decode_pos_block(
-                    bytes(db), bytes(cb), bytes(pb), int(n))
-                keys = np.repeat(docs, counts) * _POS_MULT + pos
-                by_term[term].append(keys)
-        if any(not chunks for chunks in by_term.values()):
+        got = _decode_pos_rows_bulk(it)
+        if got is None:
+            return
+        keys_all, code_per_pos, uniq_terms = got
+        by_term = {t: keys_all[code_per_pos == ci]
+                   for ci, t in enumerate(uniq_terms)}
+        if any(t not in by_term or not len(by_term[t]) for t in toks):
             return  # some phrase term absent from this partition's ranges
-        keys_of = {t: np.sort(np.concatenate(chunks))
-                   for t, chunks in by_term.items()}
+        keys_of = {t: np.sort(by_term[t]) for t in set(toks)}
         cur = keys_of[toks[0]]
         for i, t in enumerate(toks[1:], 1):
             ki = keys_of[t]
@@ -573,25 +611,15 @@ def near_match(spark: SparkSession, index: InvertedIndex, phrase: str,
     win = np.int64(window)
 
     def near(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        keys_chunks: list[np.ndarray] = []
-        label_chunks: list[np.ndarray] = []
-        seen = set()
-        for pdf in it:
-            for term, n, db, cb, pb in zip(pdf["term"], pdf["n"],
-                                           pdf["doc_bytes"],
-                                           pdf["cnt_bytes"],
-                                           pdf["pos_bytes"]):
-                docs, counts, pos = decode_pos_block(
-                    bytes(db), bytes(cb), bytes(pb), int(n))
-                keys = np.repeat(docs, counts) * _POS_MULT + pos
-                keys_chunks.append(keys)
-                label_chunks.append(np.full(len(keys), label_of[term],
-                                            dtype=np.int8))
-                seen.add(term)
-        if len(seen) < m:
+        got = _decode_pos_rows_bulk(it)
+        if got is None:
+            return
+        keys, code_per_pos, uniq_terms = got
+        if len(uniq_terms) < m:
             return  # some term absent from this partition's ranges
-        keys = np.concatenate(keys_chunks)
-        labels = np.concatenate(label_chunks)
+        lbl_of_code = np.array([label_of[t] for t in uniq_terms],
+                               dtype=np.int8)
+        labels = lbl_of_code[code_per_pos]
         order = np.argsort(keys, kind="stable")
         keys, labels = keys[order], labels[order]
         n = len(keys)

@@ -218,30 +218,41 @@ def _score_weighted_blocks(joined: DataFrame, index: InvertedIndex,
                 continue
             if acc_blocks is not None:
                 acc_blocks.add(len(pdf))
-            qids, terms, docs, scores = [], [], [], []
-            qcol = pdf["query_id"] if with_query_id else [0] * len(pdf)
-            for qid, term, wgt, n, db, tb, lb in zip(
-                    qcol, pdf["term"], pdf["weight"], pdf["n"],
-                    pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"]):
-                d, t, ln = decode_block(bytes(db), bytes(tb), bytes(lb),
-                                        int(n))
-                tf = t.astype(np.float64)
-                denom = tf + k1 * (1 - b + b * ln.astype(np.float64) / avgdl)
-                s = wgt * (tf * (k1 + 1) / denom)
-                qids.append(np.full(len(d), qid, dtype=np.int32))
-                terms.extend([term] * len(d))
-                docs.append(d)
-                scores.append(s)
-            out = {"term": terms,
-                   "doc_id": np.concatenate(docs),
-                   "score": np.concatenate(scores)}
+            # bulk decode: ONE varint pass per column over the batch's
+            # concatenated buffers (per-block doc-id cumsum reset via the
+            # base-subtraction trick) — bitwise-identical per element to
+            # the per-block decode + score expression
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            total = int(ns.sum())
+            deltas = varint_decode(b"".join(pdf["doc_bytes"]),
+                                   total).astype(np.int64)
+            starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+            c = np.cumsum(deltas)
+            base = np.zeros(len(ns), dtype=np.int64)
+            base[1:] = c[starts[1:] - 1]
+            docs = c - np.repeat(base, ns)
+            tf = varint_decode(b"".join(pdf["tf_bytes"]),
+                               total).astype(np.float64)
+            ln = varint_decode(b"".join(pdf["dl_bytes"]),
+                               total).astype(np.float64)
+            denom = tf + k1 * (1 - b + b * ln / avgdl)
+            wgt = np.repeat(pdf["weight"].to_numpy(dtype=np.float64), ns)
+            s = wgt * (tf * (k1 + 1) / denom)
+            out = {"term": np.repeat(pdf["term"].to_numpy(), ns),
+                   "doc_id": docs,
+                   "score": s}
             if with_query_id:
-                out = {"query_id": np.concatenate(qids), **out}
+                out = {"query_id": np.repeat(
+                    pdf["query_id"].to_numpy(dtype=np.int32), ns), **out}
             yield pd.DataFrame(out)
 
     schema = (("query_id int, " if with_query_id else "")
               + "term string, " + RESULT_SCHEMA)
-    return joined.mapInPandas(score, schema=schema)
+    # project to exactly the kernel's columns before the Python boundary
+    # (drops block metadata/bucket cols from the Arrow transfer)
+    cols = ((["query_id"] if with_query_id else [])
+            + ["term", "weight", "n", "doc_bytes", "tf_bytes", "dl_bytes"])
+    return joined.select(*cols).mapInPandas(score, schema=schema)
 
 
 def _apply_after(scored: DataFrame, after) -> DataFrame:
@@ -420,18 +431,25 @@ def term_docs(spark: SparkSession, index: InvertedIndex,
     block scan + Arrow decode) — the building block for boolean
     constraints: required terms semi-join, excluded terms anti-join
     (query/parser.py). Size is the term's df, not the corpus."""
-    blocks = _query_blocks(spark, index, [term])
+    # project to the two columns the kernel touches BEFORE the Python
+    # boundary — mapInPandas otherwise ships (and reads) every column
+    blocks = _query_blocks(spark, index, [term]).select("n", "doc_bytes")
 
     def explode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
         for pdf in it:
             if not len(pdf):
                 continue
-            outs = [decode_block(bytes(db), bytes(tb), bytes(lb), int(n))[0]
-                    for n, db, tb, lb in zip(pdf["n"], pdf["doc_bytes"],
-                                             pdf["tf_bytes"],
-                                             pdf["dl_bytes"])]
-            yield pd.DataFrame({"doc_id": np.concatenate(outs)})
+            # one varint pass over the batch's doc buffers (per-block
+            # cumsum reset via base subtraction); tf/dl never decoded
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            deltas = varint_decode(b"".join(pdf["doc_bytes"]),
+                                   int(ns.sum())).astype(np.int64)
+            starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+            c = np.cumsum(deltas)
+            base = np.zeros(len(ns), dtype=np.int64)
+            base[1:] = c[starts[1:] - 1]
+            yield pd.DataFrame({"doc_id": c - np.repeat(base, ns)})
 
     return blocks.mapInPandas(explode, schema="doc_id long")
 

@@ -11,9 +11,17 @@ whole-stage-codegen predicate). Adding a new document costs one pass
 over the rules table regardless of corpus size; the corpus itself is
 never touched.
 
-Rule semantics per stored query (the DSL's boolean core):
+Rule semantics per stored query (the exact predicate the code
+implements — NOTE it is deliberately STRICTER than ``dsl_match_docs``
+for mixed rules: here ``ranking`` holds only the rule's FREE K2 terms,
+so a rule that mixes free terms with phrases/required words demands a
+free-term hit, whereas ``dsl_search``'s ranking_text also counts
+phrase/required words as ranking hits. For alerting, "mentions one of
+my topic words" is the intended trigger; a rule that should fire on
+constraints alone is written without free terms):
 
-    match  =  (ranking ∩ doc_tokens ≠ ∅  OR  ranking = ∅ with phrases)
+    match  =  (ranking ∩ doc_tokens ≠ ∅
+               OR  ranking = ∅ ∧ (phrases ≠ ∅ ∨ required ≠ ∅))
             ∧ every required token present
             ∧ no excluded token present
             ∧ every phrase present as consecutive K1 tokens
@@ -71,7 +79,9 @@ def percolate(spark: SparkSession, queries_df: DataFrame,
     """All stored queries the document ``text`` matches →
     (query_id, n_ranking_hits), ordered (n_ranking_hits DESC, query_id
     ASC). One map-only scan of the rules table; the doc's K1 token set
-    and padded token stream ship as literals."""
+    and padded token stream ship as literals. Match semantics are the
+    module-docstring predicate — mixed free+constraint rules require a
+    free-term hit (stricter than ``dsl_match_docs``; see above)."""
     toks = tokenize_k1_py(text)
     tok_set = sorted(set(toks))
     stream = " " + " ".join(toks) + " "

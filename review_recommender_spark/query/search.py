@@ -251,7 +251,6 @@ def bm25_scores_batch_served(spark: SparkSession, index: InvertedIndex,
     so hybrid results are identical whichever path ran
     (tests/test_ops.py::test_hybrid_served_bm25_parity)."""
     from ..functions.tokenize import tokenize_k2_py
-    from ..index.codec import decode_block
     idf = index.idf_lookup()
     if idf is None:
         # cold index: degrade to the (slower, shuffle+join) cold path
@@ -268,31 +267,59 @@ def bm25_scores_batch_served(spark: SparkSession, index: InvertedIndex,
     avgdl = index.avgdl
 
     def score_shard(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..index.codec import varint_decode
+        frames = [pdf for pdf in it if len(pdf)]
+        if not frames:
+            return
+        pdf = frames[0] if len(frames) == 1 \
+            else pd.concat(frames, ignore_index=True)
+        # bulk decode (one varint pass per column, per-block cumsum reset
+        # via base subtraction) — bitwise-identical per element to the
+        # per-block decode + score expression
+        ns = pdf["n"].to_numpy(dtype=np.int64)
+        total = int(ns.sum())
+        deltas = varint_decode(b"".join(pdf["doc_bytes"]),
+                               total).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+        c = np.cumsum(deltas)
+        base = np.zeros(len(ns), dtype=np.int64)
+        base[1:] = c[starts[1:] - 1]
+        d_all = c - np.repeat(base, ns)
+        tf = varint_decode(b"".join(pdf["tf_bytes"]),
+                           total).astype(np.float64)
+        ln = varint_decode(b"".join(pdf["dl_bytes"]),
+                           total).astype(np.float64)
+        denom = tf + k1 * (1 - b + b * ln / avgdl)
+        terms_col = pdf["term"].to_numpy()
+        w_row = np.array([idf_q[t] for t in terms_col])
+        s_all = np.repeat(w_row, ns) * (tf * (k1 + 1) / denom)
         per_term: dict[str, list] = {}
-        for pdf in it:
-            for term, n, db, tb, lb in zip(
-                    pdf["term"], pdf["n"], pdf["doc_bytes"],
-                    pdf["tf_bytes"], pdf["dl_bytes"]):
-                d, t, ln = decode_block(bytes(db), bytes(tb), bytes(lb),
-                                        int(n))
-                tf = t.astype(np.float64)
-                denom = tf + k1 * (1 - b + b * ln.astype(np.float64) / avgdl)
-                per_term.setdefault(term, []).append(
-                    (d, idf_q[term] * (tf * (k1 + 1) / denom)))
+        for j, term in enumerate(terms_col):
+            a = starts[j]
+            e = a + ns[j]
+            per_term.setdefault(term, []).append((d_all[a:e], s_all[a:e]))
         if not per_term:
             return
+        # pre-concatenate each term's block slices once: a (term, doc)
+        # pair occurs in exactly one block, so one vectorized scatter-add
+        # per token is bitwise-equal to the per-block loop
+        per_term_cat = {
+            t: (np.concatenate([d for d, _ in parts]),
+                np.concatenate([s for _, s in parts]))
+            for t, parts in per_term.items()}
         for qi, seq in enumerate(token_seqs):
-            qterms = {t for t in seq if t in per_term}
+            qterms = {t for t in seq if t in per_term_cat}
             if not qterms:
                 continue
             uniq = np.unique(np.concatenate(
-                [d for t in qterms for d, _ in per_term[t]]))
+                [per_term_cat[t][0] for t in qterms]))
             totals = np.zeros(len(uniq))
             # accumulate in QUERY TOKEN order (repeats included) — a doc a
             # term doesn't match gets +0.0, bitwise equal to _fold_scores
             for tok in seq:
-                for d, s in per_term.get(tok, ()):
-                    totals[np.searchsorted(uniq, d)] += s
+                got = per_term_cat.get(tok)
+                if got is not None:
+                    totals[np.searchsorted(uniq, got[0])] += got[1]
             yield pd.DataFrame({"query_id": np.full(len(uniq), qi,
                                                     dtype=np.int32),
                                 "doc_id": uniq,

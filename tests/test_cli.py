@@ -128,13 +128,26 @@ def test_cli_explain_near_paging(spark, tmp_path, capsys):
     import re
     first = re.findall(r"doc (\d+)\s+score=([0-9.]+)", text)
     assert len(first) == 5
+    # the CLI must emit a machine-readable cursor carrying the UNROUNDED
+    # score (ADVICE r6: a rounded cursor duplicates/skips boundary docs)
+    m = re.search(r"next_after: (\S+)", text)
+    assert m, text
+    cursor = m.group(1)
+    assert cursor.endswith(f":{first[-1][0]}")
     assert cli_main(["search", "--index", idx, "--corpus", "synth:300",
                      "-q", "wireless bluetooth", "--bm25-only",
-                     "-k", "5",
-                     "--after", f"{first[-1][1]}:{first[-1][0]}"]) == 0
+                     "-k", "5", "--after", cursor]) == 0
     text2 = capsys.readouterr().out
     second = re.findall(r"doc (\d+)\s+score=([0-9.]+)", text2)
     assert second and not ({d for d, _ in first} & {d for d, _ in second})
+    # page1 + page2 through the verbatim cursor == one 10-row page
+    assert cli_main(["search", "--index", idx, "--corpus", "synth:300",
+                     "-q", "wireless bluetooth", "--bm25-only",
+                     "-k", "10"]) == 0
+    ten = re.findall(r"doc (\d+)\s+score=([0-9.]+)",
+                     capsys.readouterr().out)
+    assert [d for d, _ in first] + [d for d, _ in second] \
+        == [d for d, _ in ten]
     # explain: contributions sum to the doc's score
     top_doc = first[0][0]
     assert cli_main(["explain", "--index", idx,
