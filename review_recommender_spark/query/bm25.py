@@ -198,18 +198,21 @@ def _query_blocks(spark: SparkSession, index: InvertedIndex,
                     & F.col("term").isin(sorted(terms))))
 
 
-def _score_weighted_blocks(joined: DataFrame, index: InvertedIndex,
-                           with_query_id: bool,
-                           acc_blocks=None) -> DataFrame:
-    """Decode + score posting blocks carrying a ``weight`` (single-idf)
-    column (and optionally ``query_id``) → per-posting partial scores,
-    one row per (doc, term) with the term kept for the query-order fold.
-    The partial's float expression order matches BM25Okapi term-by-term:
-    idf · ((tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl))).
-    ``acc_blocks``: optional Spark accumulator counting decoded block
-    rows (observability; task retries may double-count)."""
+def _score_blocks_closure(blocks: DataFrame, index: InvertedIndex,
+                          weights: dict, acc_blocks=None) -> DataFrame:
+    """Decode + score posting blocks → per-posting partial scores, one
+    row per (doc, term), with the per-term weights CLOSURE-CAPTURED
+    instead of broadcast-joined: the
+    join's BroadcastExchange cost ~1.4 s per query at bench scale
+    (measured r7 — the dominant term of the exact path), while a
+    few-entry dict rides the task closure for free. Same bulk decode,
+    same elementwise float expressions → bitwise-identical partials;
+    row order differs (irrelevant: the fold's map is keyed).
+
+    ``blocks`` must already be filtered to the weights' terms."""
     k1, b = index.cfg.bm25.k1, index.cfg.bm25.b
     avgdl = index.avgdl
+    w = dict(weights)
 
     def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -218,10 +221,6 @@ def _score_weighted_blocks(joined: DataFrame, index: InvertedIndex,
                 continue
             if acc_blocks is not None:
                 acc_blocks.add(len(pdf))
-            # bulk decode: ONE varint pass per column over the batch's
-            # concatenated buffers (per-block doc-id cumsum reset via the
-            # base-subtraction trick) — bitwise-identical per element to
-            # the per-block decode + score expression
             ns = pdf["n"].to_numpy(dtype=np.int64)
             total = int(ns.sum())
             deltas = varint_decode(b"".join(pdf["doc_bytes"]),
@@ -236,23 +235,82 @@ def _score_weighted_blocks(joined: DataFrame, index: InvertedIndex,
             ln = varint_decode(b"".join(pdf["dl_bytes"]),
                                total).astype(np.float64)
             denom = tf + k1 * (1 - b + b * ln / avgdl)
-            wgt = np.repeat(pdf["weight"].to_numpy(dtype=np.float64), ns)
-            s = wgt * (tf * (k1 + 1) / denom)
-            out = {"term": np.repeat(pdf["term"].to_numpy(), ns),
-                   "doc_id": docs,
-                   "score": s}
-            if with_query_id:
-                out = {"query_id": np.repeat(
-                    pdf["query_id"].to_numpy(dtype=np.int32), ns), **out}
-            yield pd.DataFrame(out)
+            terms = pdf["term"].to_numpy()
+            wgt = np.repeat(np.array([w[t] for t in terms]), ns)
+            yield pd.DataFrame({
+                "term": np.repeat(terms, ns),
+                "doc_id": docs,
+                "score": wgt * (tf * (k1 + 1) / denom)})
 
-    schema = (("query_id int, " if with_query_id else "")
-              + "term string, " + RESULT_SCHEMA)
-    # project to exactly the kernel's columns before the Python boundary
-    # (drops block metadata/bucket cols from the Arrow transfer)
-    cols = ((["query_id"] if with_query_id else [])
-            + ["term", "weight", "n", "doc_bytes", "tf_bytes", "dl_bytes"])
-    return joined.select(*cols).mapInPandas(score, schema=schema)
+    return (blocks.select("term", "n", "doc_bytes", "tf_bytes",
+                          "dl_bytes")
+            .mapInPandas(score, schema="term string, " + RESULT_SCHEMA))
+
+
+def _score_blocks_closure_batch(blocks: DataFrame, index: InvertedIndex,
+                                qweights: list[dict],
+                                acc_blocks=None) -> DataFrame:
+    """Batch (query_id) variant of ``_score_blocks_closure``: one decode
+    of the union of the batch's terms' blocks, then per query emit rows
+    for ITS terms — the same output multiset the per-query broadcast
+    join produced, without duplicating block rows through an exchange.
+    ``qweights[qi]`` is query qi's {term: single-idf weight} map (empty
+    dict → the query emits nothing)."""
+    k1, b = index.cfg.bm25.k1, index.cfg.bm25.b
+    avgdl = index.avgdl
+    qws = [dict(w) for w in qweights]
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            if not len(pdf):
+                continue
+            if acc_blocks is not None:
+                acc_blocks.add(len(pdf))
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            total = int(ns.sum())
+            deltas = varint_decode(b"".join(pdf["doc_bytes"]),
+                                   total).astype(np.int64)
+            starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+            c = np.cumsum(deltas)
+            base = np.zeros(len(ns), dtype=np.int64)
+            base[1:] = c[starts[1:] - 1]
+            docs = c - np.repeat(base, ns)
+            tf = varint_decode(b"".join(pdf["tf_bytes"]),
+                               total).astype(np.float64)
+            ln = varint_decode(b"".join(pdf["dl_bytes"]),
+                               total).astype(np.float64)
+            unit = tf * (k1 + 1) / (tf + k1 * (1 - b + b * ln / avgdl))
+            terms = pdf["term"].to_numpy()
+            tcodes, tuniq = pd.factorize(terms)
+            # per-term posting slices (row order preserved)
+            pos_starts = starts
+            by_term: dict[str, list] = {}
+            for j, t in enumerate(tuniq):
+                rows = np.flatnonzero(tcodes == j)
+                by_term[t] = [(pos_starts[r], pos_starts[r] + ns[r])
+                              for r in rows]
+            for qi, w in enumerate(qws):
+                d_parts, s_parts, t_parts = [], [], []
+                for t in w:
+                    for a, e in by_term.get(t, ()):
+                        d_parts.append(docs[a:e])
+                        s_parts.append(w[t] * unit[a:e])
+                        t_parts.append(np.full(e - a, t, dtype=object))
+                if not d_parts:
+                    continue
+                d_cat = np.concatenate(d_parts)
+                yield pd.DataFrame({
+                    "query_id": np.full(len(d_cat), qi, dtype=np.int32),
+                    "term": np.concatenate(t_parts),
+                    "doc_id": d_cat,
+                    "score": np.concatenate(s_parts)})
+
+    return (blocks.select("term", "n", "doc_bytes", "tf_bytes",
+                          "dl_bytes")
+            .mapInPandas(score,
+                         schema="query_id int, term string, "
+                                + RESULT_SCHEMA))
 
 
 def _apply_after(scored: DataFrame, after) -> DataFrame:
@@ -340,20 +398,17 @@ def _cold_scores_batch(spark: SparkSession, index: InvertedIndex,
     with an isin literal — fine for the head-shard warming the memory
     envelope prescribes (10-10^4 hot ranges); a fleet warming millions of
     ranges would swap this for a broadcast anti-join."""
-    rows = [(qi, t, float(idf_map[t]))
-            for qi, seq in enumerate(token_seqs)
-            for t in sorted({x for x in seq if x in idf_map})]
-    if not rows:
+    qweights = [{t: float(idf_map[t])
+                 for t in sorted({x for x in seq if x in idf_map})}
+                for seq in token_seqs]
+    known = sorted({t for w in qweights for t in w})
+    if not known:
         return spark.createDataFrame([], "query_id int, " + RESULT_SCHEMA)
-    wdf = spark.createDataFrame(rows,
-                                "query_id int, term string, weight double")
-    blocks = _query_blocks(spark, index,
-                           sorted({t for _, t, _ in rows}))
+    blocks = _query_blocks(spark, index, known)
     blocks = blocks.filter(
         ~F.col("range_id").isin([int(r) for r in warm_ranges])
         if warm_ranges else F.lit(True))
-    joined = blocks.join(F.broadcast(wdf), "term")
-    partials = _score_weighted_blocks(joined, index, with_query_id=True)
+    partials = _score_blocks_closure_batch(blocks, index, qweights)
     # min_match stays correct under the warm/cold split: a doc's complete
     # postings live in ONE range, and a range is entirely warm or cold,
     # so each side's per-doc distinct-matched-term count is total
@@ -568,12 +623,18 @@ def bm25_topk_exact(spark: SparkSession, index: InvertedIndex, query,
     if not qtf:
         return spark.createDataFrame([], RESULT_SCHEMA)
     token_seq = _tokens(query)
-    w = weights_df(spark, index, [query]).drop("query_id")
-    blocks = _query_blocks(spark, index, sorted(qtf))
-    joined = blocks.join(F.broadcast(w), "term")
+    # weights ride the task closure (warm: driver idf cache, zero jobs;
+    # cold: one bucket-pruned lookup) — the r6 plan broadcast-joined a
+    # weights relation instead, whose BroadcastExchange alone cost ~1.4 s
+    # per query at bench scale (measured r7)
+    idf = query_term_idf(spark, index, query)
+    if not idf:
+        # no query term is in the index vocabulary → empty result, same
+        # as the joined plan would produce without running a job
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    blocks = _query_blocks(spark, index, sorted(idf))
     acc = _mk_decode_acc(spark, stats)
-    partials = _score_weighted_blocks(joined, index, with_query_id=False,
-                                      acc_blocks=acc)
+    partials = _score_blocks_closure(blocks, index, idf, acc_blocks=acc)
     partials = _apply_doc_exclude(_apply_doc_filter(partials, filter_docs),
                                   exclude_docs)
     return _topk(partials, token_seq, k,
@@ -1206,8 +1267,6 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
     # contribution incl. query multiplicity); scoring uses single-idf
     # partials folded in query-token order (see _fold_scores)
     weights = {t: idf[t] * qtf[t] for t in idf}
-    wdf = spark.createDataFrame(list(idf.items()),
-                                "term string, weight double")
     blocks = _query_blocks(spark, index, sorted(weights)).withColumn(
         "ub", _block_upper_bound_col(weights, index))
     # corpus-level range count — a driver-side constant, no Spark action.
@@ -1218,9 +1277,9 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
     if n_ranges < min_ranges_to_prune:
         if stats is not None:
             stats["pruning_engaged"] = False
-        joined = blocks.drop("ub").join(F.broadcast(wdf), "term")
         return _topk(_apply_doc_exclude(_apply_doc_filter(
-            _score_weighted_blocks(joined, index, False, acc_blocks=acc),
+            _score_blocks_closure(blocks.drop("ub"), index, idf,
+                                  acc_blocks=acc),
             filter_docs), exclude_docs), token_seq, k, min_match=mm,
             after=after)
     if stats is not None:
@@ -1235,9 +1294,9 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
     if too_big or ex_too_big:
         if stats is not None:
             stats["pruning_engaged"] = False
-        joined = blocks.drop("ub").join(F.broadcast(wdf), "term")
         return _topk(_apply_doc_exclude(_apply_doc_filter(
-            _score_weighted_blocks(joined, index, False, acc_blocks=acc),
+            _score_blocks_closure(blocks.drop("ub"), index, idf,
+                                  acc_blocks=acc),
             filter_docs), exclude_docs), token_seq, k, min_match=mm,
             after=after)
     if allowed is not None and not len(allowed):
@@ -1256,11 +1315,11 @@ def bm25_topk_pruned(spark: SparkSession, index: InvertedIndex, query: str,
         if not seed:
             return spark.createDataFrame([], RESULT_SCHEMA)
         seed_blocks = blocks.filter(F.col("range_id").isin(seed)) \
-            .join(F.broadcast(wdf), "term")
+            .drop("ub")
         seed_scored = _topk(
             _apply_doc_exclude(_apply_doc_filter(
-                _score_weighted_blocks(seed_blocks, index, False,
-                                       acc_blocks=acc), filter_docs),
+                _score_blocks_closure(seed_blocks, index, idf,
+                                      acc_blocks=acc), filter_docs),
                 exclude_docs),
             token_seq, k, min_match=mm, after=after).collect()
         theta = (seed_scored[k - 1]["score"]

@@ -211,16 +211,15 @@ def dismax_topk(spark: SparkSession, fields: list[Bm25fField],
         raise ValueError("dismax_topk needs at least one field")
     if not 0.0 <= tie_breaker <= 1.0:
         raise ValueError("tie_breaker must be in [0, 1]")
-    from .bm25 import _score_weighted_blocks, weights_df
+    from .bm25 import _score_blocks_closure, query_term_idf
     token_seq = tokenize_k2_py(query)
     if not token_seq:
         return spark.createDataFrame([], RESULT_SCHEMA)
     per_field = None
     for fid, fld in enumerate(fields):
-        w = weights_df(spark, fld.index, [query]).drop("query_id")
-        blocks = _query_blocks(spark, fld.index, sorted(set(token_seq)))
-        joined = blocks.join(F.broadcast(w), "term")
-        partials = _score_weighted_blocks(joined, fld.index, False)
+        idf = query_term_idf(spark, fld.index, query)
+        blocks = _query_blocks(spark, fld.index, sorted(idf))
+        partials = _score_blocks_closure(blocks, fld.index, idf)
         scored = _fold_scores(partials, token_seq, ["doc_id"]) \
             .select("doc_id",
                     F.lit(fid).alias("fid"),

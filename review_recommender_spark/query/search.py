@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 
 from ..config import EngineConfig
 from ..index.build import InvertedIndex
-from .bm25 import _query_blocks, _score_weighted_blocks, weights_df
+from .bm25 import (_query_blocks, _score_blocks_closure_batch,
+                   _term_stats_pruned)
 from .encoder import cross_encoder_score, encode_text
 from .secondpass import score_pool
 
@@ -207,19 +208,29 @@ def bestrev_scores_batch(spark: SparkSession, reviews_emb: DataFrame,
 def bm25_scores_batch(spark: SparkSession, index: InvertedIndex,
                       queries: list[str]) -> DataFrame:
     """(query_id, doc_id, _bm25_raw) for every doc matching ≥1 query term —
-    a single plan: per-(query, term) weights resolved by broadcast join
-    against bucket-pruned term_stats, joined onto the pruned posting
-    blocks (blocks of terms shared across queries duplicate per query,
-    which is cheap: few terms, partition-pruned scan)."""
+    a single plan over the pruned posting blocks, per-(query, term)
+    weights closure-captured in the decode kernel (r7: the former
+    weights broadcast join cost ~1.4 s of BroadcastExchange per call;
+    warm indexes resolve idf from the driver cache with zero jobs, cold
+    ones with one bucket-pruned lookup)."""
     from ..functions.tokenize import tokenize_k2_py
     terms = sorted({t for q in queries for t in set(tokenize_k2_py(q))})
     if not terms:
         return spark.createDataFrame(
             [], "query_id int, doc_id long, _bm25_raw double")
-    wdf = weights_df(spark, index, queries)
-    blocks = _query_blocks(spark, index, terms)
-    joined = blocks.join(F.broadcast(wdf), "term")
-    partials = _score_weighted_blocks(joined, index, with_query_id=True)
+    idf_map = index.idf_lookup()
+    if idf_map is None:
+        idf_map = {r["term"]: r["idf"]
+                   for r in _term_stats_pruned(spark, index, terms)
+                   .select("term", "idf").collect()}
+    qweights = [{t: idf_map[t] for t in set(tokenize_k2_py(q))
+                 if t in idf_map} for q in queries]
+    known = sorted({t for w in qweights for t in w})
+    if not known:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, _bm25_raw double")
+    blocks = _query_blocks(spark, index, known)
+    partials = _score_blocks_closure_batch(blocks, index, qweights)
     # per-(query, doc) score: fold the query's token SEQUENCE over the
     # per-term partials — BM25Okapi's exact float addition order (shared
     # tie-determinism contract with bm25.py::_fold_scores)
@@ -246,7 +257,7 @@ def bm25_scores_batch_served(spark: SparkSession, index: InvertedIndex,
     scores finish inside one map stage; idf comes from the driver cache
     (no term_stats join). Used by ``hybrid_search_batch`` automatically
     when the index is warm. Bit-parity contract: per-term partials use
-    the same float expression as ``_score_weighted_blocks`` and are
+    the same float expression as ``_score_blocks_closure`` and are
     accumulated in QUERY TOKEN ORDER (``_fold_scores``' addition order),
     so hybrid results are identical whichever path ran
     (tests/test_ops.py::test_hybrid_served_bm25_parity)."""

@@ -66,14 +66,45 @@ def test_stage_c_modes_byte_identical(spark, small_pages, tmp_path):
                     TableIO(str(tmp_path / "r")), raw_cfg, n_chunks=1,
                     shuffle_partitions=11)
     assert _fingerprint_index(spark, a) == _fingerprint_index(spark, b)
-    orig = B._pack_partials
+    orig = B._pack_partials_arrow
     with mock.patch.object(
-            B, "_pack_partials",
-            lambda c, chunk_rows=2_000_000: orig(c, chunk_rows=64)):
+            B, "_pack_partials_arrow",
+            lambda c, chunk_tokens=2_000_000: orig(c, chunk_tokens=64)):
         c = build_index(spark, small_pages.repartition(4),
                         TableIO(str(tmp_path / "s")), cfg, n_chunks=1,
                         shuffle_partitions=7)
     assert _fingerprint_index(spark, c) == _fingerprint_index(spark, b)
+
+
+def test_merge_kernel_resums_split_runs(spark):
+    """The shuffle-side merge kernel must tf-SUM duplicate (group, doc)
+    postings — the contract that makes partial granularity irrelevant.
+    (The r7 arrow pack never splits a doc across flushes, so this is
+    exercised directly at the kernel level rather than via a build.)"""
+    import numpy as np
+    import pandas as pd
+    from review_recommender_spark.index import build as B
+    from review_recommender_spark.index.codec import decode_block
+
+    def part(docs, tfs, dls):
+        return (np.asarray(docs, np.int64).tobytes(),
+                np.asarray(tfs, np.int32).tobytes(),
+                np.asarray(dls, np.int32).tobytes())
+
+    d1, t1, l1 = part([5, 9], [2, 1], [40, 50])
+    d2, t2, l2 = part([9, 11], [3, 4], [50, 60])   # doc 9 split across partials
+    pdf = pd.DataFrame({
+        "term": ["alpha", "alpha"], "range_id": [0, 0], "n": [2, 2],
+        "doc_arr": [d1, d2], "tf_arr": [t1, t2], "dl_arr": [l1, l2]})
+    out = list(B._merge_encode_partials(B.EngineConfig())([pdf]))
+    assert len(out) == 1 and len(out[0]) == 1
+    row = out[0].iloc[0]
+    docs, tfs, dls = decode_block(bytes(row["doc_bytes"]),
+                                  bytes(row["tf_bytes"]),
+                                  bytes(row["dl_bytes"]), int(row["n"]))
+    assert list(docs) == [5, 9, 11]
+    assert list(tfs) == [2, 4, 4]      # doc 9: 1 + 3 re-summed
+    assert list(dls) == [40, 50, 60]
 
 
 def test_topk_stable_across_runs(spark, small_index):
