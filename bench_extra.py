@@ -205,6 +205,89 @@ def main() -> None:
             spark.catalog.clearCache()
             print(json.dumps(res), flush=True)
 
+        if "scale" in phases:
+            # sf1-equivalent tier (VERDICT r6 #4): ~10× the bench corpus,
+            # bursty/topical shape — the regime where block-max pruning
+            # must beat the exact cold path in WALL time, not just decode
+            # counts. Evidence for OPTIMIZATION_r07.md; not in frozen
+            # bench.py.
+            n_scale = int(os.environ.get("SPARK_GRAFT_EXTRA_SCALE_DOCS",
+                                         "1200000"))
+            scfg = dataclasses.replace(
+                cfg, index=dataclasses.replace(cfg.index, range_shift=9))
+            spath = os.path.join(tmp, "scorpus")
+            sc.setJobDescription("extra: scale corpus gen")
+            t0 = time.perf_counter()
+            pages_df(spark, n_scale, partitions=parts, bursty=True,
+                     plant=False, topics=max(512, n_scale // 60)) \
+                .write.mode("overwrite").parquet(spath)
+            sgen = round(time.perf_counter() - t0, 3)
+            sdocs = spark.read.parquet(spath)
+            st: dict = {}
+            sc.setJobDescription("extra: scale build")
+            t0 = time.perf_counter()
+            sidx = build_index(spark, sdocs,
+                               TableIO(os.path.join(tmp, "sidx")), scfg,
+                               n_chunks=1,
+                               shuffle_partitions=max(32, cpus * 2),
+                               stage_timings=st)
+            sbuild = round(time.perf_counter() - t0, 3)
+            res = {"phase": "scale", "n_docs": n_scale,
+                   "corpus_gen_s": sgen, "build_s": sbuild,
+                   "build_docs_per_sec": round(n_scale / sbuild, 1),
+                   "build_stages": st,
+                   "n_ranges": max(1, n_scale >> scfg.index.range_shift)}
+            bq = bursty_queries()
+            e_lat, p_lat = [], []
+            e_blocks = p_blocks = 0
+            for rep in range(reps):
+                for q in bq[:3]:
+                    st_e: dict = {}
+                    sc.setJobDescription("extra: scale exact")
+                    t0 = time.perf_counter()
+                    e = bm25_topk_exact(spark, sidx, q, k=10,
+                                        stats=st_e).collect()
+                    e_lat.append(time.perf_counter() - t0)
+                    st_p: dict = {}
+                    sc.setJobDescription("extra: scale pruned")
+                    t0 = time.perf_counter()
+                    p = bm25_topk_pruned(spark, sidx, q, k=10,
+                                         min_ranges_to_prune=64,
+                                         stats=st_p).collect()
+                    p_lat.append(time.perf_counter() - t0)
+                    assert [r["doc_id"] for r in e] \
+                        == [r["doc_id"] for r in p], q
+                    if rep == 0:
+                        e_blocks += st_e["decoded_blocks"].value
+                        p_blocks += st_p["decoded_blocks"].value
+            res["exact_p50_s"] = _p50(e_lat)
+            res["pruned_p50_s"] = _p50(p_lat)
+            res["exact_blocks"] = e_blocks
+            res["pruned_blocks"] = p_blocks
+            # warm serving at scale
+            sidx.warm(spark, serving_shards=8)
+            bm25_topk_served(spark, sidx, bq[0], k=10).collect()
+            lat = []
+            for rep in range(reps):
+                for q in bq[:5]:
+                    sc.setJobDescription("extra: scale served")
+                    t0 = time.perf_counter()
+                    bm25_topk_served(spark, sidx, q, k=10).collect()
+                    lat.append(time.perf_counter() - t0)
+            res["served_p50_s"] = _p50(lat)
+            skip_stats: dict = {}
+            bm25_topk_served_batch(spark, sidx, bq[:1], k=10).collect()
+            t0 = time.perf_counter()
+            bm25_topk_served_batch(spark, sidx, bq, k=10,
+                                   stats=skip_stats).collect()
+            res["served_batch10_s"] = round(time.perf_counter() - t0, 3)
+            res["served_skip_ratio"] = round(
+                1.0 - skip_stats["decoded_blocks"].value
+                / max(skip_stats["total_blocks"].value, 1), 4)
+            sidx.unwarm()
+            spark.catalog.clearCache()
+            print(json.dumps(res), flush=True)
+
         if "hybrid" in phases and idx is not None:
             sc.setJobDescription("extra: embed build")
             t0 = time.perf_counter()
