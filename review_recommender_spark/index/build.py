@@ -755,6 +755,16 @@ def build_index(spark: SparkSession, docs: DataFrame | str, io: TableIO,
         else:
             chunk = docs.filter(
                 F.pmod(F.col(doc_id_col), F.lit(n_chunks)) == i)
+        # Parallelize NARROW inputs (guide §6.1): a table written by a
+        # few writers arrives in a few scan partitions and would
+        # tokenize on that many cores (the driver's sf documents table
+        # ships as 2 files — Stage A then used 2 of 32 slots). One
+        # round-robin repartition of the raw rows fixes the width;
+        # postings are content-determined, so output bytes are
+        # unchanged (partitioning-invariance is test-gated).
+        width = spark.sparkContext.defaultParallelism
+        if chunk.rdd.getNumPartitions() < width:
+            chunk = chunk.repartition(width)
         tf_df = _doc_rows(_tokens_df(chunk, cfg, doc_id_col, text_col))
         writer.write_chunk(tf_df, i)
     writer.finalize(lineage={"stage": "A", "source": "docs"},
