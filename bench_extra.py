@@ -284,6 +284,22 @@ def main() -> None:
             res["served_skip_ratio"] = round(
                 1.0 - skip_stats["decoded_blocks"].value
                 / max(skip_stats["total_blocks"].value, 1), 4)
+            # skip-on vs skip-off WALL at this tier (r6 VERDICT #1
+            # done-bar: the decode saving must convert to wall time at
+            # an honest scale)
+            on_lat, off_lat = [], []
+            for rep in range(reps):
+                sc.setJobDescription("extra: scale batch skip on")
+                t0 = time.perf_counter()
+                bm25_topk_served_batch(spark, sidx, bq, k=10).collect()
+                on_lat.append(time.perf_counter() - t0)
+                sc.setJobDescription("extra: scale batch skip off")
+                t0 = time.perf_counter()
+                bm25_topk_served_batch(spark, sidx, bq, k=10,
+                                       block_skip=False).collect()
+                off_lat.append(time.perf_counter() - t0)
+            res["served_batch10_skip_p50_s"] = _p50(on_lat)
+            res["served_batch10_noskip_p50_s"] = _p50(off_lat)
             sidx.unwarm()
             spark.catalog.clearCache()
             print(json.dumps(res), flush=True)
